@@ -1,0 +1,352 @@
+"""Primal-dual interior-point method for OCP-structured QPs.
+
+TPU-native replacement for HPIPM's `d_ocp_qp_ipm_solve`
+(/root/reference/acados/ocp_qp/ocp_qp_hpipm.c:347): an infeasible-start
+Mehrotra predictor-corrector IPM whose per-iteration Newton systems are
+reduced stage-wise (inequality duals and slacks eliminated analytically,
+soft-constraint slacks eliminated in closed form — the diagonal "series
+weight" trick HPIPM applies to its 2*ns soft slacks) and solved by one
+backward-Riccati factorization plus two solves (predictor + corrector).
+
+TPU-first properties:
+- fixed shapes; per-row enable masks implement the reference's constraint
+  masking (dmask) and stage-varying constraint counts;
+- one `jax.lax.while_loop` with per-instance convergence — under `jax.vmap`
+  JAX masks updates of converged instances, giving the batched early
+  termination of SURVEY.md §7 hard part (b) for free;
+- equality rows (lg == ug, e.g. initial-state conditions) are handled by the
+  same two-sided barrier, as in HPIPM;
+- the whole solve is differentiable-by-construction, though the NLP layer
+  uses implicit differentiation at the KKT point instead (mirrors
+  d_ocp_qp_ipm_sens_frw/adj, ocp_qp_hpipm.c:489,503).
+
+Sign conventions: multiplier pi_k on (A x_k + B u_k + b_k - x_{k+1});
+Lagrangian L = f - lam_lg'(g + sl - lg) - lam_ug'(ug - g + su)
+              - lam_sl'sl - lam_su'su.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
+from acados_tpu.ocp_qp.riccati import riccati_factor, riccati_solve
+from acados_tpu.utils.struct import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class IpmOpts:
+    """IPM options. Defaults follow HPIPM's ROBUST-leaning settings; the
+    reference exposes the analogous knobs via `hpipm_mode` + qp tolerances
+    (acados_ocp_options.py: qp_solver_tol_*)."""
+
+    iter_max: int = static_field(default=30)
+    mu0: float = 1e2
+    tol_stat: float = 1e-8
+    tol_eq: float = 1e-8
+    tol_ineq: float = 1e-8
+    tol_comp: float = 1e-8
+    tau: float = 0.995          # fraction-to-boundary
+    reg_eps: float = 1e-11      # Cholesky diagonal regularization
+    t0_min: float = 1e-1        # minimum initial slack distance
+    mu_min: float = 0.0         # hard floor on mu; the effective floor is
+    # max(mu_min, 10*eps(dtype)): once the barrier is below machine
+    # precision further iterations only amplify roundoff (relevant for the
+    # f32 TPU production path; f64 oracles are unaffected).
+
+
+@pytree_dataclass
+class IpmInfo:
+    """Per-solve diagnostics (reference qp_info: ocp_qp_common.h:112-122)."""
+
+    num_iter: jnp.ndarray
+    mu: jnp.ndarray
+    res_stat: jnp.ndarray
+    res_eq: jnp.ndarray
+    res_ineq: jnp.ndarray
+    status: jnp.ndarray  # 0 success, 1 NaN, 2 max_iter
+
+
+def _stage_g(qp: OcpQp, x, u):
+    """g_k = C_k x_k + D_k u_k for all stages (D contributes for k < N)."""
+    g = jnp.einsum("kij,kj->ki", qp.C, x)
+    gu = jnp.einsum("kij,kj->ki", qp.D, u)
+    return g.at[:-1].add(gu)
+
+
+def _ct_vec(qp: OcpQp, v):
+    """(C'v, D'v) stage-wise: v (N+1, nc) -> ((N+1, nx), (N, nu))."""
+    cv = jnp.einsum("kij,ki->kj", qp.C, v)
+    dv = jnp.einsum("kij,ki->kj", qp.D, v[:-1])
+    return cv, dv
+
+
+@pytree_dataclass
+class _Iterate:
+    x: jnp.ndarray
+    u: jnp.ndarray
+    pi: jnp.ndarray
+    lam_l: jnp.ndarray
+    lam_u: jnp.ndarray
+    t_l: jnp.ndarray
+    t_u: jnp.ndarray
+    sl: jnp.ndarray
+    su: jnp.ndarray
+    lam_sl: jnp.ndarray
+    lam_su: jnp.ndarray
+
+
+def _residuals(qp: OcpQp, it: _Iterate):
+    m, sm = qp.mask, qp.soft_mask * qp.mask
+    g = _stage_g(qp, it.x, it.u)
+    lam_d = m * (it.lam_l - it.lam_u)
+    cv, dv = _ct_vec(qp, lam_d)
+
+    rx = jnp.einsum("kij,kj->ki", qp.Q, it.x) + qp.q - cv
+    rx = rx.at[:-1].add(jnp.einsum("kij,ki->kj", qp.S, it.u))
+    rx = rx.at[:-1].add(jnp.einsum("kij,ki->kj", qp.A, it.pi))
+    rx = rx.at[1:].add(-it.pi)
+
+    ru = (jnp.einsum("kij,kj->ki", qp.S, it.x[:-1])
+          + jnp.einsum("kij,kj->ki", qp.R, it.u) + qp.r
+          + jnp.einsum("kij,ki->kj", qp.B, it.pi) - dv)
+
+    r_dyn = (jnp.einsum("kij,kj->ki", qp.A, it.x[:-1])
+             + jnp.einsum("kij,kj->ki", qp.B, it.u) + qp.b - it.x[1:])
+
+    r_l = m * (g + sm * it.sl - it.t_l - qp.lg)
+    r_u = m * (g - sm * it.su + it.t_u - qp.ug)
+    r_sl = sm * (qp.zl + qp.Zl * it.sl - it.lam_l - it.lam_sl)
+    r_su = sm * (qp.zu + qp.Zu * it.su - it.lam_u - it.lam_su)
+
+    comp = (jnp.sum(m * (it.lam_l * it.t_l + it.lam_u * it.t_u))
+            + jnp.sum(sm * (it.lam_sl * it.sl + it.lam_su * it.su)))
+    ncomp = jnp.maximum(2.0 * jnp.sum(m) + 2.0 * jnp.sum(sm), 1.0)
+    mu = comp / ncomp
+    return (rx, ru, r_dyn, r_l, r_u, r_sl, r_su), mu
+
+
+def _res_norms(res):
+    rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
+    inf = lambda a: (jnp.max(jnp.abs(a)) if a.size else jnp.zeros((), a.dtype))
+    res_stat = jnp.maximum(jnp.maximum(inf(rx), inf(ru)),
+                           jnp.maximum(inf(r_sl), inf(r_su)))
+    res_eq = inf(r_dyn)
+    res_ineq = jnp.maximum(inf(r_l), inf(r_u))
+    return res_stat, res_eq, res_ineq
+
+
+def _row_weights(qp: OcpQp, it: _Iterate):
+    """Barrier weights per constraint row (rhs-independent -> one
+    factorization serves predictor and corrector)."""
+    m, sm = qp.mask, qp.soft_mask
+    wl = it.lam_l / it.t_l
+    wu = it.lam_u / it.t_u
+    wsl = it.lam_sl / it.sl
+    wsu = it.lam_su / it.su
+    denom_l = qp.Zl + wl + wsl
+    denom_u = qp.Zu + wu + wsu
+    W_l = jnp.where(sm > 0, wl * (qp.Zl + wsl) / denom_l, wl)
+    W_u = jnp.where(sm > 0, wu * (qp.Zu + wsu) / denom_u, wu)
+    W = m * (W_l + W_u)
+    return W, (wl, wu, wsl, wsu, denom_l, denom_u)
+
+
+def _barrier_hessian(qp: OcpQp, W):
+    """Qb, Rb, Sb = stage Hessian + G' diag(W) G."""
+    WC = W[:, :, None] * qp.C
+    Qb = qp.Q + jnp.einsum("kij,kil->kjl", qp.C, WC)
+    WD = W[:-1, :, None] * qp.D
+    Rb = qp.R + jnp.einsum("kij,kil->kjl", qp.D, WD)
+    Sb = qp.S + jnp.einsum("kij,kil->kjl", qp.D, WC[:-1])
+    return Qb, Rb, Sb
+
+
+def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
+                 rhs_cl, rhs_cu, rhs_csl, rhs_csu):
+    """One reduced Newton solve for given complementarity right-hand sides."""
+    rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
+    _, (wl, wu, wsl, wsu, denom_l, denom_u) = weights
+    m, sm = qp.mask, qp.soft_mask * qp.mask
+
+    a_l = rhs_cl / it.t_l - wl * r_l
+    a_u = rhs_cu / it.t_u + wu * r_u
+    c_l = -r_sl + rhs_csl / it.sl
+    c_u = -r_su + rhs_csu / it.su
+
+    gamma_l = jnp.where(sm > 0, a_l - wl * (a_l + c_l) / denom_l, a_l)
+    gamma_u = jnp.where(sm > 0, a_u - wu * (a_u + c_u) / denom_u, a_u)
+    gamma = m * (gamma_l - gamma_u)
+
+    cg, dg_ = _ct_vec(qp, gamma)
+    qb = rx - cg
+    rb = ru - dg_
+    dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qb, rb, r_dyn)
+    dg = jnp.einsum("kij,kj->ki", qp.C, dx)
+    dg = dg.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, du))
+
+    dsl = sm * (a_l + c_l - wl * dg) / denom_l
+    dsu = sm * (a_u + c_u + wu * dg) / denom_u
+    dt_l = m * (dg + dsl + r_l)
+    dt_u = m * (dsu - dg - r_u)
+    dlam_l = m * (rhs_cl - it.lam_l * dt_l) / it.t_l
+    dlam_u = m * (rhs_cu - it.lam_u * dt_u) / it.t_u
+    dlam_sl = sm * (rhs_csl - it.lam_sl * dsl) / it.sl
+    dlam_su = sm * (rhs_csu - it.lam_su * dsu) / it.su
+
+    return _Iterate(x=dx, u=du, pi=dpi, lam_l=dlam_l, lam_u=dlam_u,
+                    t_l=dt_l, t_u=dt_u, sl=dsl, su=dsu,
+                    lam_sl=dlam_sl, lam_su=dlam_su)
+
+
+def _max_alpha(qp: OcpQp, it: _Iterate, d: _Iterate, tau):
+    """Single fraction-to-boundary step length over all positive variables."""
+    m, sm = qp.mask, qp.soft_mask * qp.mask
+
+    def ratio(v, dv, mm):
+        bad = (dv < 0) & (mm > 0)
+        r = jnp.where(bad, -v / jnp.where(bad, dv, -1.0), jnp.inf)
+        return jnp.min(r) if r.size else jnp.inf
+
+    cands = jnp.stack([
+        ratio(it.t_l, d.t_l, m), ratio(it.t_u, d.t_u, m),
+        ratio(it.lam_l, d.lam_l, m), ratio(it.lam_u, d.lam_u, m),
+        ratio(it.sl, d.sl, sm), ratio(it.su, d.su, sm),
+        ratio(it.lam_sl, d.lam_sl, sm), ratio(it.lam_su, d.lam_su, sm),
+    ])
+    return jnp.minimum(tau * jnp.min(cands), 1.0)
+
+
+def _apply(it: _Iterate, d: _Iterate, alpha) -> _Iterate:
+    return jax.tree.map(lambda v, dv: v + alpha * dv, it, d)
+
+
+def _mu_of(qp: OcpQp, it: _Iterate):
+    m, sm = qp.mask, qp.soft_mask * qp.mask
+    comp = (jnp.sum(m * (it.lam_l * it.t_l + it.lam_u * it.t_u))
+            + jnp.sum(sm * (it.lam_sl * it.sl + it.lam_su * it.su)))
+    ncomp = jnp.maximum(2.0 * jnp.sum(m) + 2.0 * jnp.sum(sm), 1.0)
+    return comp / ncomp
+
+
+def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
+    dt = qp.q.dtype
+    m, sm = qp.mask, qp.soft_mask * qp.mask
+    if warm is None:
+        x = jnp.zeros_like(qp.q)
+        u = jnp.zeros_like(qp.r)
+        pi = jnp.zeros_like(qp.b)
+    else:
+        x, u, pi = warm.x, warm.u, warm.pi
+    g = _stage_g(qp, x, u)
+    t0 = jnp.asarray(opts.t0_min, dt)
+    t_l = jnp.where(m > 0, jnp.maximum(g - qp.lg, t0), 1.0)
+    t_u = jnp.where(m > 0, jnp.maximum(qp.ug - g, t0), 1.0)
+    lam_l = jnp.where(m > 0, opts.mu0 / t_l, 0.0)
+    lam_u = jnp.where(m > 0, opts.mu0 / t_u, 0.0)
+    sl = jnp.ones_like(t_l)
+    su = jnp.ones_like(t_u)
+    lam_sl = jnp.where(sm > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    lam_su = jnp.where(sm > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    return _Iterate(x=x, u=u, pi=pi, lam_l=lam_l, lam_u=lam_u,
+                    t_l=t_l, t_u=t_u, sl=sl, su=su,
+                    lam_sl=lam_sl, lam_su=lam_su)
+
+
+@partial(jax.jit, static_argnames=("unroll",))
+def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
+                 unroll: bool = False):
+    """Solve one OCP-QP. vmap over a leading batch axis for batched solves.
+
+    Returns (OcpQpSol, IpmInfo).
+    """
+    if opts is None:
+        opts = IpmOpts()
+    it0 = _init_iterate(qp, opts, warm)
+    dt = qp.q.dtype
+    mu_floor = jnp.maximum(jnp.asarray(opts.mu_min, dt),
+                           10 * jnp.finfo(dt).eps)
+
+    def err_of(rs, re, ri, mu):
+        """Worst residual-to-tolerance ratio; <= 1 means converged."""
+        return jnp.max(jnp.stack([rs / opts.tol_stat, re / opts.tol_eq,
+                                  ri / opts.tol_ineq, mu / opts.tol_comp]))
+
+    def cond(carry):
+        it, best_it, best_err, k, status, done = carry
+        return jnp.logical_and(k < opts.iter_max, jnp.logical_not(done))
+
+    def body(carry):
+        it, best_it, best_err, k, status, _ = carry
+        res, mu = _residuals(qp, it)
+        weights = _row_weights(qp, it)
+        W = weights[0]
+        Qb, Rb, Sb = _barrier_hessian(qp, W)
+        fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=opts.reg_eps)
+
+        m, sm = qp.mask, qp.soft_mask * qp.mask
+        # --- affine (predictor) step: rc = 0 -> rhs = -lam*t
+        rhs_cl = -m * it.lam_l * it.t_l
+        rhs_cu = -m * it.lam_u * it.t_u
+        rhs_csl = -sm * it.lam_sl * it.sl
+        rhs_csu = -sm * it.lam_su * it.su
+        d_aff = _newton_step(qp, fact, it, res, weights,
+                             rhs_cl, rhs_cu, rhs_csl, rhs_csu)
+        alpha_aff = _max_alpha(qp, it, d_aff, opts.tau)
+        mu_aff = _mu_of(qp, _apply(it, d_aff, alpha_aff))
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # --- corrector: rc = sigma*mu - dlam_aff*dt_aff
+        smu = sigma * mu
+        rhs_cl = m * (smu - it.lam_l * it.t_l - d_aff.lam_l * d_aff.t_l)
+        rhs_cu = m * (smu - it.lam_u * it.t_u - d_aff.lam_u * d_aff.t_u)
+        rhs_csl = sm * (smu - it.lam_sl * it.sl - d_aff.lam_sl * d_aff.sl)
+        rhs_csu = sm * (smu - it.lam_su * it.su - d_aff.lam_su * d_aff.su)
+        d = _newton_step(qp, fact, it, res, weights,
+                         rhs_cl, rhs_cu, rhs_csl, rhs_csu)
+        alpha = _max_alpha(qp, it, d, opts.tau)
+        it_new = _apply(it, d, alpha)
+
+        nan = jnp.logical_not(jnp.isfinite(
+            jnp.sum(it_new.x) + jnp.sum(it_new.u) + jnp.sum(it_new.pi)))
+        it_new = jax.tree.map(lambda new, old: jnp.where(nan, old, new),
+                              it_new, it)
+
+        res_new, mu_new = _residuals(qp, it_new)
+        rs, re, ri = _res_norms(res_new)
+        err = err_of(rs, re, ri, mu_new)
+        improved = err < best_err
+        best_it = jax.tree.map(lambda n, o: jnp.where(improved, n, o),
+                               it_new, best_it)
+        best_err = jnp.where(improved, err, best_err)
+        converged = err <= 1.0
+        status = jnp.where(nan, 1, jnp.where(converged, 0, status))
+        done = converged | nan | (mu_new < mu_floor)
+        return (it_new, best_it, best_err, k + 1, status, done)
+
+    init_status = jnp.asarray(2, jnp.int32)  # max_iter unless proven otherwise
+    res0, mu0_ = _residuals(qp, it0)
+    err0 = err_of(*_res_norms(res0), mu0_)
+    carry0 = (it0, it0, err0, jnp.asarray(0, jnp.int32), init_status,
+              jnp.asarray(False))
+    if unroll:
+        carry = carry0
+        for _ in range(opts.iter_max):
+            carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
+    else:
+        carry = jax.lax.while_loop(cond, body, carry0)
+    _, it, best_err, k, status, _ = carry
+    status = jnp.where(best_err <= 1.0, 0, status)
+
+    res, mu = _residuals(qp, it)
+    rs, re, ri = _res_norms(res)
+    sol = OcpQpSol(x=it.x, u=it.u, pi=it.pi,
+                   lam_lg=it.lam_l * qp.mask, lam_ug=it.lam_u * qp.mask,
+                   t_lg=it.t_l, t_ug=it.t_u,
+                   sl=it.sl * qp.soft_mask * qp.mask,
+                   su=it.su * qp.soft_mask * qp.mask)
+    info = IpmInfo(num_iter=k, mu=mu, res_stat=rs, res_eq=re, res_ineq=ri,
+                   status=status)
+    return sol, info

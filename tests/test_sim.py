@@ -1,0 +1,153 @@
+"""Integrator tests vs high-precision scipy reference + finite differences.
+
+Oracle style follows the reference's sim test tier
+(/root/reference/test/sim/sim_test_ode.cpp:89-606, sim_test_dae.cpp,
+sim_test_hessian.cpp): pendulum model, every integrator x sensitivity mode,
+checked against a tight-tolerance reference integration.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from scipy.integrate import solve_ivp
+
+from acados_tpu.sim.butcher import (erk_tableau, gauss_legendre_tableau,
+                                    radau_iia_tableau)
+from acados_tpu.sim.integrator import SimOpts, make_step_fn, simulate
+
+
+def pendulum_ode(x, u, p, t):
+    """Pendulum-on-cart (same physics as the reference getting-started
+    model, examples/acados_python/getting_started/pendulum_model.py)."""
+    M, m, g, l = 1.0, 0.1, 9.81, 0.8
+    theta, dtheta, v = x[1], x[3], x[2]
+    F = u[0]
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    denom = M + m - m * cth * cth
+    return jnp.stack([
+        v,
+        dtheta,
+        (-m * l * sth * dtheta**2 + m * g * cth * sth + F) / denom,
+        (-m * l * cth * sth * dtheta**2 + F * cth + (M + m) * g * sth)
+        / (l * denom),
+    ])
+
+
+X0 = np.array([0.1, 0.5, -0.2, 0.3])
+U0 = np.array([2.0])
+DT = 0.25
+
+
+def scipy_ref(x0=X0, u=U0, dt=DT):
+    f = lambda t, x: np.asarray(
+        pendulum_ode(jnp.asarray(x), jnp.asarray(u), None, t))
+    sol = solve_ivp(f, (0, dt), x0, rtol=1e-12, atol=1e-12, dense_output=True)
+    return sol.y[:, -1]
+
+
+class TestButcher:
+    def test_radau_iia_known_nodes(self):
+        _, _, c2 = radau_iia_tableau(2)
+        np.testing.assert_allclose(c2, [1 / 3, 1.0], atol=1e-12)
+        _, _, c3 = radau_iia_tableau(3)
+        np.testing.assert_allclose(
+            c3, [(4 - np.sqrt(6)) / 10, (4 + np.sqrt(6)) / 10, 1.0],
+            atol=1e-12)
+
+    def test_gauss_legendre_order(self):
+        # 2-stage GL integrates polynomials up to degree 3 exactly
+        A, b, c = gauss_legendre_tableau(2)
+        for k in range(4):
+            np.testing.assert_allclose(b @ (c ** k), 1 / (k + 1), atol=1e-13)
+
+    def test_erk4_consistency(self):
+        A, b, c = erk_tableau(4)
+        np.testing.assert_allclose(b.sum(), 1.0)
+        np.testing.assert_allclose(A.sum(axis=1), c)
+
+
+class TestErk:
+    @pytest.mark.parametrize("num_stages,num_steps,tol", [
+        (4, 40, 1e-7), (2, 200, 1e-5), (1, 2000, 5e-3)])
+    def test_vs_scipy(self, num_stages, num_steps, tol):
+        step = make_step_fn(f_expl=pendulum_ode, nx=4, opts=SimOpts(
+            integrator_type="ERK", num_stages=num_stages,
+            num_steps=num_steps))
+        xn = step(jnp.asarray(X0), jnp.asarray(U0), None, 0.0, DT)
+        np.testing.assert_allclose(np.asarray(xn), scipy_ref(), atol=tol)
+
+    def test_forward_sens_vs_finite_diff(self):
+        step = make_step_fn(f_expl=pendulum_ode, nx=4, opts=SimOpts(
+            integrator_type="ERK", num_stages=4, num_steps=10))
+        out = simulate(step, jnp.asarray(X0), jnp.asarray(U0), dt=DT)
+        eps = 1e-6
+        for j in range(5):
+            dxu = np.zeros(5)
+            dxu[j] = eps
+            xp = np.concatenate([X0, U0]) + dxu
+            xm = np.concatenate([X0, U0]) - dxu
+            fd = (np.asarray(step(jnp.asarray(xp[:4]), jnp.asarray(xp[4:]),
+                                  None, 0.0, DT))
+                  - np.asarray(step(jnp.asarray(xm[:4]), jnp.asarray(xm[4:]),
+                                    None, 0.0, DT))) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(out.S_forw[:, j]), fd,
+                                       atol=1e-6)
+
+
+class TestIrk:
+    @pytest.mark.parametrize("colloc,ns,steps,tol", [
+        ("GAUSS_LEGENDRE", 2, 20, 1e-7),
+        ("GAUSS_LEGENDRE", 3, 10, 1e-9),
+        ("RADAU_IIA", 3, 20, 1e-8)])
+    def test_vs_scipy(self, colloc, ns, steps, tol):
+        step = make_step_fn(f_expl=pendulum_ode, nx=4, opts=SimOpts(
+            integrator_type="IRK", num_stages=ns, num_steps=steps,
+            newton_iter=5, collocation_type=colloc))
+        xn = step(jnp.asarray(X0), jnp.asarray(U0), None, 0.0, DT)
+        np.testing.assert_allclose(np.asarray(xn), scipy_ref(), atol=tol)
+
+    def test_forward_sens_implicit_diff(self):
+        step = make_step_fn(f_expl=pendulum_ode, nx=4, opts=SimOpts(
+            integrator_type="IRK", num_stages=3, num_steps=5,
+            newton_iter=8))
+        out = simulate(step, jnp.asarray(X0), jnp.asarray(U0), dt=DT,
+                       sens_adj=True, sens_hess=True,
+                       seed_adj=jnp.ones(4))
+        # forward sens vs finite differences
+        eps = 1e-6
+        xu0 = np.concatenate([X0, U0])
+        for j in range(5):
+            d = np.zeros(5); d[j] = eps
+            fp = np.asarray(step(jnp.asarray((xu0 + d)[:4]),
+                                 jnp.asarray((xu0 + d)[4:]), None, 0.0, DT))
+            fm = np.asarray(step(jnp.asarray((xu0 - d)[:4]),
+                                 jnp.asarray((xu0 - d)[4:]), None, 0.0, DT))
+            np.testing.assert_allclose(np.asarray(out.S_forw[:, j]),
+                                       (fp - fm) / (2 * eps), atol=1e-5)
+        # adjoint == seed' @ S_forw
+        np.testing.assert_allclose(
+            np.asarray(out.S_adj), np.ones(4) @ np.asarray(out.S_forw),
+            atol=1e-10)
+        # Hessian is symmetric
+        np.testing.assert_allclose(np.asarray(out.S_hess),
+                                   np.asarray(out.S_hess).T, atol=1e-8)
+
+
+class TestDae:
+    def test_pendulum_index1_dae(self):
+        """ODE augmented with an algebraic equation z = ||xdot_v||^2-style;
+        checks DAE machinery (reference sim_test_dae.cpp pattern)."""
+        def f_impl(xdot, x, z, u, p, t):
+            ode = xdot - pendulum_ode(x, u, p, t)
+            alg = z - jnp.array([x[2] ** 2 + x[3] ** 2])
+            return jnp.concatenate([ode, alg])
+
+        from acados_tpu.sim.irk import make_irk_step
+        step = make_irk_step(f_impl, nx=4, nz=1, num_stages=3, num_steps=20,
+                             newton_iter=6, collocation="RADAU_IIA")
+        xn, zn = step(jnp.asarray(X0), jnp.asarray(U0), None, 0.0, DT)
+        x_ref = scipy_ref()
+        np.testing.assert_allclose(np.asarray(xn), x_ref, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(zn)[0],
+                                   x_ref[2] ** 2 + x_ref[3] ** 2, atol=1e-6)
