@@ -1,0 +1,293 @@
+"""NLP formulation: per-stage cost / dynamics / constraint modules.
+
+TPU-native counterpart of the reference's per-stage module system — the
+`ocp_nlp_cost_config` / `ocp_nlp_constraints_config` / `ocp_nlp_dynamics_config`
+vtables (/root/reference/acados/ocp_nlp/ocp_nlp_common.h:74-128) and the
+BGH constraint + {LINEAR_LS, NONLINEAR_LS, CONL, EXTERNAL} cost taxonomy
+(ocp_nlp_cost_ls.c / _nls.c / _conl.c / _external.c,
+ocp_nlp_constraints_bgh.c). Key inversions:
+
+- CasADi-generated derivative functions (nls_y_fun_jac_ut_xt, nls_y_hess, …)
+  are replaced by jax autodiff applied to user-supplied jax callables;
+- the vtable dispatch is replaced by closures specialized at solver build
+  time (everything is traced once into a single XLA program);
+- box bounds (idxbx/idxbu), general linear rows (C/D) and nonlinear rows h
+  are folded into ONE unified constraint-row block per stage class so the
+  QP sees a single dense (C, D, lg, ug) — one matmul per stage on the MXU
+  instead of three sparse paths.
+
+Stage classes follow the reference Python API: initial (index 0), path
+(1..N-1) and terminal (N), each with its own cost/constraint spec
+(acados_ocp_cost.py cost_type_0/cost_type/cost_type_e; constraints
+*_0/*/*_e variants).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acados_tpu.utils.struct import pytree_dataclass
+from acados_tpu.utils.types import ACADOS_INFTY
+
+
+# ---------------------------------------------------------------------------
+# Cost modules
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CostSpec:
+    """One stage-class cost module.
+
+    kind: 'LINEAR_LS' | 'NONLINEAR_LS' | 'CONL' | 'EXTERNAL'
+      LINEAR_LS / NONLINEAR_LS (reference ocp_nlp_cost_ls.c:243,
+        _nls.c): 0.5 * ||y(x,u,p,t) - yref||^2_W, Gauss-Newton Hessian.
+      CONL (ocp_nlp_cost_conl.c): psi(y(x,u) - yref, p) with
+        outer-convexity-exploiting generalized Gauss-Newton.
+      EXTERNAL (ocp_nlp_cost_external.c): arbitrary scalar cost, exact
+        Hessian via jax.
+    y_fun: (x, u, p, t) -> y residual vector (LS / NLS / CONL inner).
+    psi_fun: (r, p) -> scalar convex outer (CONL only).
+    ext_fun: (x, u, p, t) -> scalar (EXTERNAL only).
+    ny: residual dimension (LS family).
+    """
+
+    kind: str
+    ny: int = 0
+    y_fun: Optional[Callable] = None
+    psi_fun: Optional[Callable] = None
+    ext_fun: Optional[Callable] = None
+
+    def value(self, x, u, p, t, data) -> jnp.ndarray:
+        """Stage cost value (excluding slack penalties)."""
+        if self.kind in ("LINEAR_LS", "NONLINEAR_LS"):
+            r = self.y_fun(x, u, p, t) - data["yref"]
+            return 0.5 * r @ data["W"] @ r
+        if self.kind == "CONL":
+            r = self.y_fun(x, u, p, t) - data["yref"]
+            return self.psi_fun(r, p)
+        if self.kind == "EXTERNAL":
+            return self.ext_fun(x, u, p, t)
+        raise ValueError(self.kind)
+
+    def quad_approx(self, x, u, p, t, data, exact_hessian: bool):
+        """Quadratic approximation at (x, u): returns (H, grad) over
+        w = [x; u] — the reference's cost update_qp_matrices
+        (ocp_nlp_cost_ls.c:883 RSQrq/grad packing)."""
+        nx, nu = x.shape[-1], u.shape[-1]
+
+        def split(w):
+            return w[:nx], w[nx:]
+
+        w = jnp.concatenate([x, u])
+        if self.kind in ("LINEAR_LS", "NONLINEAR_LS"):
+            yf = lambda w_: self.y_fun(*split(w_), p, t)
+            y = yf(w)
+            J = jax.jacfwd(yf)(w)
+            r = y - data["yref"]
+            Wr = data["W"] @ r
+            grad = J.T @ Wr
+            H = J.T @ data["W"] @ J
+            if exact_hessian and self.kind == "NONLINEAR_LS":
+                # exact = GN + sum_i (W r)_i * hess(y_i) (the contraction
+                # the reference gets from the nls_y_hess external function)
+                H = H + jax.hessian(
+                    lambda w_: yf(w_) @ jax.lax.stop_gradient(Wr))(w)
+            return H, grad
+        if self.kind == "CONL":
+            yf = lambda w_: self.y_fun(*split(w_), p, t) - data["yref"]
+            r = yf(w)
+            J = jax.jacfwd(yf)(w)
+            gpsi = jax.grad(lambda r_: self.psi_fun(r_, p))(r)
+            Hpsi = jax.hessian(lambda r_: self.psi_fun(r_, p))(r)
+            return J.T @ Hpsi @ J, J.T @ gpsi
+        if self.kind == "EXTERNAL":
+            f = lambda w_: self.ext_fun(*split(w_), p, t)
+            grad = jax.grad(f)(w)
+            H = jax.hessian(f)(w)
+            if not exact_hessian:
+                # symmetrize-only; EXTERNAL with GN request keeps exact H
+                H = 0.5 * (H + H.T)
+            return H, grad
+        raise ValueError(self.kind)
+
+
+# ---------------------------------------------------------------------------
+# Constraint module (BGH): unified row block
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConstraintSpec:
+    """One stage-class BGH constraint block, folded to unified rows.
+
+    Row layout: [box-x rows | box-u rows | general C/D rows | nonlinear h
+    rows], mirroring the reference's (idxb, C/D, h) split
+    (ocp_nlp_constraints_bgh.c:1216) but evaluated as one dense block.
+
+    idxbx/idxbu: bounded state/input indices (static python tuples).
+    Cg, Dg: general linear rows (numpy, (ng, nx) / (ng, nu)).
+    h_fun: (x, u, p, t) -> (nh,) nonlinear rows.
+    soft_rows: indices (into the unified row block) that are softened
+      (reference idxs mapping, acados_ocp_constraints.py idxsbx/ibu/sg/sh).
+    """
+
+    nx: int
+    nu: int
+    idxbx: tuple = ()
+    idxbu: tuple = ()
+    Cg: Optional[np.ndarray] = None
+    Dg: Optional[np.ndarray] = None
+    nh: int = 0
+    h_fun: Optional[Callable] = None
+    soft_rows: tuple = ()
+
+    @property
+    def nbx(self):
+        return len(self.idxbx)
+
+    @property
+    def nbu(self):
+        return len(self.idxbu)
+
+    @property
+    def ng(self):
+        return 0 if self.Cg is None else self.Cg.shape[0]
+
+    @property
+    def nrows(self):
+        return self.nbx + self.nbu + self.ng + self.nh
+
+    def base_CD(self, dtype):
+        """Constant part of the unified rows (box selectors + general)."""
+        nr = self.nrows
+        C = np.zeros((nr, self.nx))
+        D = np.zeros((nr, self.nu))
+        for i, j in enumerate(self.idxbx):
+            C[i, j] = 1.0
+        for i, j in enumerate(self.idxbu):
+            D[self.nbx + i, j] = 1.0
+        o = self.nbx + self.nbu
+        if self.ng:
+            C[o:o + self.ng] = self.Cg
+            if self.Dg is not None:
+                D[o:o + self.ng] = self.Dg
+        return jnp.asarray(C, dtype), jnp.asarray(D, dtype)
+
+    def eval_rows(self, x, u, p, t):
+        """Row values g(x, u) and Jacobian rows for the nonlinear block."""
+        vals = []
+        if self.nbx:
+            vals.append(x[jnp.array(self.idxbx)])
+        if self.nbu:
+            vals.append(u[jnp.array(self.idxbu)])
+        if self.ng:
+            gv = jnp.asarray(self.Cg, x.dtype) @ x
+            if self.Dg is not None:
+                gv = gv + jnp.asarray(self.Dg, x.dtype) @ u
+            vals.append(gv)
+        if self.nh:
+            vals.append(self.h_fun(x, u, p, t))
+        if not vals:
+            return jnp.zeros((0,), x.dtype)
+        return jnp.concatenate(vals)
+
+    def h_jac(self, x, u, p, t):
+        """(nh, nx), (nh, nu) Jacobians of the nonlinear rows."""
+        nx = self.nx
+        w = jnp.concatenate([x, u])
+        J = jax.jacfwd(lambda w_: self.h_fun(w_[:nx], w_[nx:], p, t))(w)
+        return J[:, :nx], J[:, nx:]
+
+    def soft_row_mask(self, dtype):
+        m = np.zeros(self.nrows)
+        for i in self.soft_rows:
+            m[i] = 1.0
+        return jnp.asarray(m, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whole-problem formulation + runtime data
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class OcpNlpFormulation:
+    """Static description of the discretized OCP (multiple shooting).
+
+    The reference equivalent is the assembled plan/config/dims
+    (ocp_nlp_plan_t, interfaces/acados_c/ocp_nlp_interface.h:109-140) after
+    codegen; here it is a plain python object whose callables get traced
+    into the solver's XLA program.
+    """
+
+    N: int
+    nx: int
+    nu: int
+    np_: int  # parameter dimension
+    step_fn: Callable  # (x, u, p, t, dt) -> x_next  (discrete dynamics)
+    cost_0: CostSpec = None
+    cost: CostSpec = None
+    cost_e: CostSpec = None
+    con_0: ConstraintSpec = None
+    con: ConstraintSpec = None
+    con_e: ConstraintSpec = None
+    exact_hessian: bool = False  # GAUSS_NEWTON (default) vs EXACT
+
+    @property
+    def nc(self) -> int:
+        """Unified constraint rows, padded across stage classes."""
+        return max(self.con_0.nrows, self.con.nrows, self.con_e.nrows, 1)
+
+
+@pytree_dataclass
+class NlpData:
+    """Runtime-changeable problem data (everything the reference lets you
+    `set` between solves without re-codegen: yref, W, bounds, parameters,
+    slack penalties — acados_ocp_solver.py cost_set/constraints_set).
+
+    Row-bound arrays are already in unified row layout per stage class.
+    Shapes: *_0 (…), path arrays lead with (N-1, …), *_e (…).
+    """
+
+    p: jnp.ndarray          # (N+1, np)
+    ts: jnp.ndarray         # (N+1,) stage times
+    dts: jnp.ndarray        # (N,) interval lengths
+    cost_scale: jnp.ndarray  # (N+1,) stage cost scaling (default dts, 1 at N)
+    yref_0: Any
+    W_0: Any
+    yref: Any               # (N-1, ny)
+    W: Any                  # (N-1, ny, ny)
+    yref_e: Any
+    W_e: Any
+    lb_0: jnp.ndarray       # (nc,) padded unified lower bounds, stage 0
+    ub_0: jnp.ndarray
+    lb: jnp.ndarray         # (N-1, nc)
+    ub: jnp.ndarray
+    lb_e: jnp.ndarray
+    ub_e: jnp.ndarray
+    Zl_0: jnp.ndarray       # (nc,) quadratic soft penalties (0 on hard rows)
+    Zu_0: jnp.ndarray
+    zl_0: jnp.ndarray
+    zu_0: jnp.ndarray
+    Zl: jnp.ndarray         # (N-1, nc)
+    Zu: jnp.ndarray
+    zl: jnp.ndarray
+    zu: jnp.ndarray
+    Zl_e: jnp.ndarray
+    Zu_e: jnp.ndarray
+    zl_e: jnp.ndarray
+    zu_e: jnp.ndarray
+
+
+def cost_data_stage0(data: NlpData):
+    return {"yref": data.yref_0, "W": data.W_0}
+
+
+def cost_data_path(data: NlpData):
+    return {"yref": data.yref, "W": data.W}
+
+
+def cost_data_term(data: NlpData):
+    return {"yref": data.yref_e, "W": data.W_e}

@@ -58,7 +58,12 @@ class OcpQp:
       R  (N,   nu, nu)   r  (N,   nu)      S (N, nu, nx)
       A  (N,   nx, nx)   B  (N,   nx, nu)  b (N, nx)
       C  (N+1, nc, nx)   D  (N,   nc, nu)
-      lg (N+1, nc)       ug (N+1, nc)      mask (N+1, nc) in {0., 1.}
+      lg (N+1, nc)       ug (N+1, nc)
+      mask_l/mask_u (N+1, nc) in {0., 1.}: per-side row enables. A row with
+        only an upper bound sets mask_l = 0 (the reference instead passes
+        lb = -ACADOS_INFTY, which is fine in f64 but catastrophically
+        absorbs O(1) slack updates in f32 on TPU); masking both sides is
+        the reference's constraint-masking dmask feature.
       Zl/Zu/zl/zu (N+1, nc)                soft_mask (N+1, nc) in {0., 1.}
     """
 
@@ -74,7 +79,8 @@ class OcpQp:
     D: jnp.ndarray
     lg: jnp.ndarray
     ug: jnp.ndarray
-    mask: jnp.ndarray
+    mask_l: jnp.ndarray
+    mask_u: jnp.ndarray
     Zl: jnp.ndarray
     Zu: jnp.ndarray
     zl: jnp.ndarray
@@ -98,7 +104,8 @@ def zero_qp(dims: OcpQpDims, dtype=jnp.float32) -> OcpQp:
         q=z(N + 1, nx), r=z(N, nu),
         A=z(N, nx, nx), B=z(N, nx, nu), b=z(N, nx),
         C=z(N + 1, nc, nx), D=z(N, nc, nu),
-        lg=z(N + 1, nc), ug=z(N + 1, nc), mask=z(N + 1, nc),
+        lg=z(N + 1, nc), ug=z(N + 1, nc),
+        mask_l=z(N + 1, nc), mask_u=z(N + 1, nc),
         Zl=z(N + 1, nc), Zu=z(N + 1, nc), zl=z(N + 1, nc), zu=z(N + 1, nc),
         soft_mask=z(N + 1, nc),
     )

@@ -55,6 +55,10 @@ class IpmOpts:
     # max(mu_min, 10*eps(dtype)): once the barrier is below machine
     # precision further iterations only amplify roundoff (relevant for the
     # f32 TPU production path; f64 oracles are unaffected).
+    matmul_precision: str = static_field(default="highest")
+    # TPU MXU matmuls on f32 inputs default to bf16 passes, which destroys
+    # the Newton directions (stationarity stalls ~1e-2); 'highest' uses
+    # full-f32 accumulation. Set 'default' only for experimentation.
 
 
 @pytree_dataclass
@@ -99,9 +103,10 @@ class _Iterate:
 
 
 def _residuals(qp: OcpQp, it: _Iterate):
-    m, sm = qp.mask, qp.soft_mask * qp.mask
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
     g = _stage_g(qp, it.x, it.u)
-    lam_d = m * (it.lam_l - it.lam_u)
+    lam_d = ml * it.lam_l - mu_ * it.lam_u
     cv, dv = _ct_vec(qp, lam_d)
 
     rx = jnp.einsum("kij,kj->ki", qp.Q, it.x) + qp.q - cv
@@ -116,14 +121,16 @@ def _residuals(qp: OcpQp, it: _Iterate):
     r_dyn = (jnp.einsum("kij,kj->ki", qp.A, it.x[:-1])
              + jnp.einsum("kij,kj->ki", qp.B, it.u) + qp.b - it.x[1:])
 
-    r_l = m * (g + sm * it.sl - it.t_l - qp.lg)
-    r_u = m * (g - sm * it.su + it.t_u - qp.ug)
-    r_sl = sm * (qp.zl + qp.Zl * it.sl - it.lam_l - it.lam_sl)
-    r_su = sm * (qp.zu + qp.Zu * it.su - it.lam_u - it.lam_su)
+    r_l = ml * (g + sml * it.sl - it.t_l - qp.lg)
+    r_u = mu_ * (g - smu * it.su + it.t_u - qp.ug)
+    r_sl = sml * (qp.zl + qp.Zl * it.sl - it.lam_l - it.lam_sl)
+    r_su = smu * (qp.zu + qp.Zu * it.su - it.lam_u - it.lam_su)
 
-    comp = (jnp.sum(m * (it.lam_l * it.t_l + it.lam_u * it.t_u))
-            + jnp.sum(sm * (it.lam_sl * it.sl + it.lam_su * it.su)))
-    ncomp = jnp.maximum(2.0 * jnp.sum(m) + 2.0 * jnp.sum(sm), 1.0)
+    comp = (jnp.sum(ml * it.lam_l * it.t_l) + jnp.sum(mu_ * it.lam_u * it.t_u)
+            + jnp.sum(sml * it.lam_sl * it.sl)
+            + jnp.sum(smu * it.lam_su * it.su))
+    ncomp = jnp.maximum(jnp.sum(ml) + jnp.sum(mu_)
+                        + jnp.sum(sml) + jnp.sum(smu), 1.0)
     mu = comp / ncomp
     return (rx, ru, r_dyn, r_l, r_u, r_sl, r_su), mu
 
@@ -141,16 +148,16 @@ def _res_norms(res):
 def _row_weights(qp: OcpQp, it: _Iterate):
     """Barrier weights per constraint row (rhs-independent -> one
     factorization serves predictor and corrector)."""
-    m, sm = qp.mask, qp.soft_mask
+    sml, smu = qp.soft_mask * qp.mask_l, qp.soft_mask * qp.mask_u
     wl = it.lam_l / it.t_l
     wu = it.lam_u / it.t_u
     wsl = it.lam_sl / it.sl
     wsu = it.lam_su / it.su
     denom_l = qp.Zl + wl + wsl
     denom_u = qp.Zu + wu + wsu
-    W_l = jnp.where(sm > 0, wl * (qp.Zl + wsl) / denom_l, wl)
-    W_u = jnp.where(sm > 0, wu * (qp.Zu + wsu) / denom_u, wu)
-    W = m * (W_l + W_u)
+    W_l = jnp.where(sml > 0, wl * (qp.Zl + wsl) / denom_l, wl)
+    W_u = jnp.where(smu > 0, wu * (qp.Zu + wsu) / denom_u, wu)
+    W = qp.mask_l * W_l + qp.mask_u * W_u
     return W, (wl, wu, wsl, wsu, denom_l, denom_u)
 
 
@@ -169,16 +176,17 @@ def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
     """One reduced Newton solve for given complementarity right-hand sides."""
     rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
     _, (wl, wu, wsl, wsu, denom_l, denom_u) = weights
-    m, sm = qp.mask, qp.soft_mask * qp.mask
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
 
     a_l = rhs_cl / it.t_l - wl * r_l
     a_u = rhs_cu / it.t_u + wu * r_u
     c_l = -r_sl + rhs_csl / it.sl
     c_u = -r_su + rhs_csu / it.su
 
-    gamma_l = jnp.where(sm > 0, a_l - wl * (a_l + c_l) / denom_l, a_l)
-    gamma_u = jnp.where(sm > 0, a_u - wu * (a_u + c_u) / denom_u, a_u)
-    gamma = m * (gamma_l - gamma_u)
+    gamma_l = jnp.where(sml > 0, a_l - wl * (a_l + c_l) / denom_l, a_l)
+    gamma_u = jnp.where(smu > 0, a_u - wu * (a_u + c_u) / denom_u, a_u)
+    gamma = ml * gamma_l - mu_ * gamma_u
 
     cg, dg_ = _ct_vec(qp, gamma)
     qb = rx - cg
@@ -187,14 +195,14 @@ def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
     dg = jnp.einsum("kij,kj->ki", qp.C, dx)
     dg = dg.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, du))
 
-    dsl = sm * (a_l + c_l - wl * dg) / denom_l
-    dsu = sm * (a_u + c_u + wu * dg) / denom_u
-    dt_l = m * (dg + dsl + r_l)
-    dt_u = m * (dsu - dg - r_u)
-    dlam_l = m * (rhs_cl - it.lam_l * dt_l) / it.t_l
-    dlam_u = m * (rhs_cu - it.lam_u * dt_u) / it.t_u
-    dlam_sl = sm * (rhs_csl - it.lam_sl * dsl) / it.sl
-    dlam_su = sm * (rhs_csu - it.lam_su * dsu) / it.su
+    dsl = sml * (a_l + c_l - wl * dg) / denom_l
+    dsu = smu * (a_u + c_u + wu * dg) / denom_u
+    dt_l = ml * (dg + dsl + r_l)
+    dt_u = mu_ * (dsu - dg - r_u)
+    dlam_l = ml * (rhs_cl - it.lam_l * dt_l) / it.t_l
+    dlam_u = mu_ * (rhs_cu - it.lam_u * dt_u) / it.t_u
+    dlam_sl = sml * (rhs_csl - it.lam_sl * dsl) / it.sl
+    dlam_su = smu * (rhs_csu - it.lam_su * dsu) / it.su
 
     return _Iterate(x=dx, u=du, pi=dpi, lam_l=dlam_l, lam_u=dlam_u,
                     t_l=dt_l, t_u=dt_u, sl=dsl, su=dsu,
@@ -203,7 +211,8 @@ def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
 
 def _max_alpha(qp: OcpQp, it: _Iterate, d: _Iterate, tau):
     """Single fraction-to-boundary step length over all positive variables."""
-    m, sm = qp.mask, qp.soft_mask * qp.mask
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
 
     def ratio(v, dv, mm):
         bad = (dv < 0) & (mm > 0)
@@ -211,10 +220,10 @@ def _max_alpha(qp: OcpQp, it: _Iterate, d: _Iterate, tau):
         return jnp.min(r) if r.size else jnp.inf
 
     cands = jnp.stack([
-        ratio(it.t_l, d.t_l, m), ratio(it.t_u, d.t_u, m),
-        ratio(it.lam_l, d.lam_l, m), ratio(it.lam_u, d.lam_u, m),
-        ratio(it.sl, d.sl, sm), ratio(it.su, d.su, sm),
-        ratio(it.lam_sl, d.lam_sl, sm), ratio(it.lam_su, d.lam_su, sm),
+        ratio(it.t_l, d.t_l, ml), ratio(it.t_u, d.t_u, mu_),
+        ratio(it.lam_l, d.lam_l, ml), ratio(it.lam_u, d.lam_u, mu_),
+        ratio(it.sl, d.sl, sml), ratio(it.su, d.su, smu),
+        ratio(it.lam_sl, d.lam_sl, sml), ratio(it.lam_su, d.lam_su, smu),
     ])
     return jnp.minimum(tau * jnp.min(cands), 1.0)
 
@@ -224,16 +233,20 @@ def _apply(it: _Iterate, d: _Iterate, alpha) -> _Iterate:
 
 
 def _mu_of(qp: OcpQp, it: _Iterate):
-    m, sm = qp.mask, qp.soft_mask * qp.mask
-    comp = (jnp.sum(m * (it.lam_l * it.t_l + it.lam_u * it.t_u))
-            + jnp.sum(sm * (it.lam_sl * it.sl + it.lam_su * it.su)))
-    ncomp = jnp.maximum(2.0 * jnp.sum(m) + 2.0 * jnp.sum(sm), 1.0)
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
+    comp = (jnp.sum(ml * it.lam_l * it.t_l) + jnp.sum(mu_ * it.lam_u * it.t_u)
+            + jnp.sum(sml * it.lam_sl * it.sl)
+            + jnp.sum(smu * it.lam_su * it.su))
+    ncomp = jnp.maximum(jnp.sum(ml) + jnp.sum(mu_)
+                        + jnp.sum(sml) + jnp.sum(smu), 1.0)
     return comp / ncomp
 
 
 def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
     dt = qp.q.dtype
-    m, sm = qp.mask, qp.soft_mask * qp.mask
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
     if warm is None:
         x = jnp.zeros_like(qp.q)
         u = jnp.zeros_like(qp.r)
@@ -242,14 +255,14 @@ def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
         x, u, pi = warm.x, warm.u, warm.pi
     g = _stage_g(qp, x, u)
     t0 = jnp.asarray(opts.t0_min, dt)
-    t_l = jnp.where(m > 0, jnp.maximum(g - qp.lg, t0), 1.0)
-    t_u = jnp.where(m > 0, jnp.maximum(qp.ug - g, t0), 1.0)
-    lam_l = jnp.where(m > 0, opts.mu0 / t_l, 0.0)
-    lam_u = jnp.where(m > 0, opts.mu0 / t_u, 0.0)
+    t_l = jnp.where(ml > 0, jnp.maximum(g - qp.lg, t0), 1.0)
+    t_u = jnp.where(mu_ > 0, jnp.maximum(qp.ug - g, t0), 1.0)
+    lam_l = jnp.where(ml > 0, opts.mu0 / t_l, 0.0)
+    lam_u = jnp.where(mu_ > 0, opts.mu0 / t_u, 0.0)
     sl = jnp.ones_like(t_l)
     su = jnp.ones_like(t_u)
-    lam_sl = jnp.where(sm > 0, jnp.asarray(opts.mu0, dt), 1.0)
-    lam_su = jnp.where(sm > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    lam_sl = jnp.where(sml > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    lam_su = jnp.where(smu > 0, jnp.asarray(opts.mu0, dt), 1.0)
     return _Iterate(x=x, u=u, pi=pi, lam_l=lam_l, lam_u=lam_u,
                     t_l=t_l, t_u=t_u, sl=sl, su=su,
                     lam_sl=lam_sl, lam_su=lam_su)
@@ -264,6 +277,11 @@ def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
     """
     if opts is None:
         opts = IpmOpts()
+    with jax.default_matmul_precision(opts.matmul_precision):
+        return _solve_ocp_qp_impl(qp, opts, warm, unroll)
+
+
+def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
     it0 = _init_iterate(qp, opts, warm)
     dt = qp.q.dtype
     mu_floor = jnp.maximum(jnp.asarray(opts.mu_min, dt),
@@ -286,12 +304,13 @@ def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
         Qb, Rb, Sb = _barrier_hessian(qp, W)
         fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=opts.reg_eps)
 
-        m, sm = qp.mask, qp.soft_mask * qp.mask
+        ml, mu_2 = qp.mask_l, qp.mask_u
+        sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_2
         # --- affine (predictor) step: rc = 0 -> rhs = -lam*t
-        rhs_cl = -m * it.lam_l * it.t_l
-        rhs_cu = -m * it.lam_u * it.t_u
-        rhs_csl = -sm * it.lam_sl * it.sl
-        rhs_csu = -sm * it.lam_su * it.su
+        rhs_cl = -ml * it.lam_l * it.t_l
+        rhs_cu = -mu_2 * it.lam_u * it.t_u
+        rhs_csl = -sml * it.lam_sl * it.sl
+        rhs_csu = -smu * it.lam_su * it.su
         d_aff = _newton_step(qp, fact, it, res, weights,
                              rhs_cl, rhs_cu, rhs_csl, rhs_csu)
         alpha_aff = _max_alpha(qp, it, d_aff, opts.tau)
@@ -299,11 +318,11 @@ def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
 
         # --- corrector: rc = sigma*mu - dlam_aff*dt_aff
-        smu = sigma * mu
-        rhs_cl = m * (smu - it.lam_l * it.t_l - d_aff.lam_l * d_aff.t_l)
-        rhs_cu = m * (smu - it.lam_u * it.t_u - d_aff.lam_u * d_aff.t_u)
-        rhs_csl = sm * (smu - it.lam_sl * it.sl - d_aff.lam_sl * d_aff.sl)
-        rhs_csu = sm * (smu - it.lam_su * it.su - d_aff.lam_su * d_aff.su)
+        cmu = sigma * mu
+        rhs_cl = ml * (cmu - it.lam_l * it.t_l - d_aff.lam_l * d_aff.t_l)
+        rhs_cu = mu_2 * (cmu - it.lam_u * it.t_u - d_aff.lam_u * d_aff.t_u)
+        rhs_csl = sml * (cmu - it.lam_sl * it.sl - d_aff.lam_sl * d_aff.sl)
+        rhs_csu = smu * (cmu - it.lam_su * it.su - d_aff.lam_su * d_aff.su)
         d = _newton_step(qp, fact, it, res, weights,
                          rhs_cl, rhs_cu, rhs_csl, rhs_csu)
         alpha = _max_alpha(qp, it, d, opts.tau)
@@ -343,10 +362,10 @@ def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
     res, mu = _residuals(qp, it)
     rs, re, ri = _res_norms(res)
     sol = OcpQpSol(x=it.x, u=it.u, pi=it.pi,
-                   lam_lg=it.lam_l * qp.mask, lam_ug=it.lam_u * qp.mask,
+                   lam_lg=it.lam_l * qp.mask_l, lam_ug=it.lam_u * qp.mask_u,
                    t_lg=it.t_l, t_ug=it.t_u,
-                   sl=it.sl * qp.soft_mask * qp.mask,
-                   su=it.su * qp.soft_mask * qp.mask)
+                   sl=it.sl * qp.soft_mask * qp.mask_l,
+                   su=it.su * qp.soft_mask * qp.mask_u)
     info = IpmInfo(num_iter=k, mu=mu, res_stat=rs, res_eq=re, res_ineq=ri,
                    status=status)
     return sol, info

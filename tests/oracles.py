@@ -29,7 +29,8 @@ def dense_qp_from_ocp_qp(qp):
     D = np.asarray(qp.D, np.float64)
     lg = np.asarray(qp.lg, np.float64)
     ug = np.asarray(qp.ug, np.float64)
-    mask = np.asarray(qp.mask, np.float64)
+    mask = np.asarray(qp.mask_l, np.float64) * 0.5 \
+        + np.asarray(qp.mask_u, np.float64) * 0.5
 
     N = A.shape[0]
     nx = Q.shape[-1]
@@ -134,13 +135,15 @@ def kkt_residuals_qp(qp, sol):
     b = np.asarray(qp.b, np.float64)
     C = np.asarray(qp.C, np.float64); D = np.asarray(qp.D, np.float64)
     lg = np.asarray(qp.lg, np.float64); ug = np.asarray(qp.ug, np.float64)
-    mask = np.asarray(qp.mask, np.float64)
+    mask_l = np.asarray(qp.mask_l, np.float64)
+    mask_u = np.asarray(qp.mask_u, np.float64)
+    mask = np.maximum(mask_l, mask_u)
     smask = np.asarray(qp.soft_mask, np.float64) * mask
     Zl = np.asarray(qp.Zl, np.float64); Zu = np.asarray(qp.Zu, np.float64)
     zl = np.asarray(qp.zl, np.float64); zu = np.asarray(qp.zu, np.float64)
 
     N = A.shape[0]
-    lam_d = mask * (lam_l - lam_u)
+    lam_d = mask_l * lam_l - mask_u * lam_u
 
     res_stat = 0.0
     for k in range(N + 1):
@@ -182,10 +185,15 @@ def kkt_residuals_qp(qp, sol):
         for i in range(lg.shape[1]):
             if mask[k, i] <= 0:
                 continue
-            viol_l = lg[k, i] - gk[i] - smask[k, i] * sl[k, i]
-            viol_u = gk[i] - ug[k, i] - smask[k, i] * su[k, i]
+            viol_l = (lg[k, i] - gk[i] - smask[k, i] * sl[k, i]) \
+                if mask_l[k, i] > 0 else 0.0
+            viol_u = (gk[i] - ug[k, i] - smask[k, i] * su[k, i]) \
+                if mask_u[k, i] > 0 else 0.0
             res_ineq = max(res_ineq, viol_l, viol_u, 0.0)
-            res_comp = max(res_comp,
-                           abs(lam_l[k, i] * min(gk[i] + smask[k, i] * sl[k, i] - lg[k, i], 1e9)),
-                           abs(lam_u[k, i] * min(ug[k, i] - gk[i] + smask[k, i] * su[k, i], 1e9)))
+            if mask_l[k, i] > 0:
+                res_comp = max(res_comp, abs(lam_l[k, i] * min(
+                    gk[i] + smask[k, i] * sl[k, i] - lg[k, i], 1e9)))
+            if mask_u[k, i] > 0:
+                res_comp = max(res_comp, abs(lam_u[k, i] * min(
+                    ug[k, i] - gk[i] + smask[k, i] * su[k, i], 1e9)))
     return dict(stat=res_stat, eq=res_eq, ineq=res_ineq, comp=res_comp)

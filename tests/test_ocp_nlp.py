@@ -1,0 +1,192 @@
+"""NLP layer tests: SQP on pendulum-on-cart NMPC vs scipy transcription.
+
+The problem mirrors the reference getting-started OCP
+(/root/reference/examples/acados_python/getting_started/minimal_example_ocp.py:15-44):
+nx=4, nu=1, N=20, Tf=1.0, NONLINEAR_LS cost, |F| <= 80, swing-up from
+x0 = [0, pi, 0, 0].
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.ocp_nlp.formulation import (ConstraintSpec, CostSpec,
+                                            NlpData, OcpNlpFormulation)
+from acados_tpu.ocp_nlp.sqp import SqpOpts, init_iterate, make_sqp_solver
+from acados_tpu.ocp_qp.ipm import IpmOpts
+from acados_tpu.sim.integrator import SimOpts, make_step_fn
+
+from test_sim import pendulum_ode
+
+NX, NU, N = 4, 1, 20
+TF = 1.0
+FMAX = 80.0
+X0 = np.array([0.0, np.pi, 0.0, 0.0])
+Q_DIAG = np.array([1e3, 1e3, 1e-2, 1e-2]) * 2
+R_DIAG = np.array([1e-2]) * 2
+W = np.diag(np.concatenate([Q_DIAG, R_DIAG]))
+W_E = np.diag(Q_DIAG)
+
+
+def build_formulation(num_stages=4, num_steps=2):
+    step = make_step_fn(f_expl=pendulum_ode, nx=NX, opts=SimOpts(
+        integrator_type="ERK", num_stages=num_stages, num_steps=num_steps))
+    step_fn = lambda x, u, p, t, dt: step(x, u, p, t, dt)
+
+    y_path = lambda x, u, p, t: jnp.concatenate([x, u])
+    y_term = lambda x, u, p, t: x
+    cost_path = CostSpec(kind="NONLINEAR_LS", ny=NX + NU, y_fun=y_path)
+    cost_term = CostSpec(kind="NONLINEAR_LS", ny=NX, y_fun=y_term)
+
+    con_0 = ConstraintSpec(nx=NX, nu=NU, idxbx=(0, 1, 2, 3), idxbu=(0,))
+    con_p = ConstraintSpec(nx=NX, nu=NU, idxbu=(0,))
+    con_e = ConstraintSpec(nx=NX, nu=NU)
+
+    return OcpNlpFormulation(
+        N=N, nx=NX, nu=NU, np_=0, step_fn=step_fn,
+        cost_0=cost_path, cost=cost_path, cost_e=cost_term,
+        con_0=con_0, con=con_p, con_e=con_e)
+
+
+def build_data(form, dtype=jnp.float64, x0=X0):
+    nc = form.nc
+    dts = np.full(N, TF / N)
+    ts = np.concatenate([[0.0], np.cumsum(dts)])
+    yref = np.zeros(NX + NU)
+
+    lb_0 = np.zeros(nc)
+    ub_0 = np.zeros(nc)
+    lb_0[:4] = x0
+    ub_0[:4] = x0
+    lb_0[4] = -FMAX
+    ub_0[4] = FMAX
+    lb_p = np.zeros(nc)
+    ub_p = np.zeros(nc)
+    lb_p[0] = -FMAX
+    ub_p[0] = FMAX
+
+    z1 = jnp.zeros((nc,), dtype)
+    zp = jnp.zeros((N - 1, nc), dtype)
+    return NlpData(
+        p=jnp.zeros((N + 1, 0), dtype),
+        ts=jnp.asarray(ts, dtype), dts=jnp.asarray(dts, dtype),
+        cost_scale=jnp.asarray(np.concatenate([dts, [1.0]]), dtype),
+        yref_0=jnp.asarray(yref, dtype), W_0=jnp.asarray(W, dtype),
+        yref=jnp.tile(jnp.asarray(yref, dtype), (N - 1, 1)),
+        W=jnp.tile(jnp.asarray(W, dtype), (N - 1, 1, 1)),
+        yref_e=jnp.zeros((NX,), dtype), W_e=jnp.asarray(W_E, dtype),
+        lb_0=jnp.asarray(lb_0, dtype), ub_0=jnp.asarray(ub_0, dtype),
+        lb=jnp.tile(jnp.asarray(lb_p, dtype), (N - 1, 1)),
+        ub=jnp.tile(jnp.asarray(ub_p, dtype), (N - 1, 1)),
+        lb_e=z1, ub_e=z1,
+        Zl_0=z1, Zu_0=z1, zl_0=z1, zu_0=z1,
+        Zl=zp, Zu=zp, zl=zp, zu=zp,
+        Zl_e=z1, Zu_e=z1, zl_e=z1, zu_e=z1,
+    )
+
+
+def scipy_transcription_solve(form, data, x_init, u_init):
+    """Independent direct-transcription solve (scipy SLSQP), standing in for
+    the reference's AcadosCasadiOcpSolver/IPOPT cross-check."""
+    from scipy.optimize import NonlinearConstraint, minimize
+
+    step_np = lambda x, u: np.asarray(form.step_fn(
+        jnp.asarray(x), jnp.asarray(u), jnp.zeros(0), 0.0, TF / N))
+    nz = (N + 1) * NX + N * NU
+
+    def unpack(z):
+        x = z[: (N + 1) * NX].reshape(N + 1, NX)
+        u = z[(N + 1) * NX:].reshape(N, NU)
+        return x, u
+
+    dts = TF / N
+
+    def fun(z):
+        x, u = unpack(z)
+        c = 0.0
+        for k in range(N):
+            y = np.concatenate([x[k], u[k]])
+            c += 0.5 * dts * y @ W @ y
+        c += 0.5 * x[N] @ W_E @ x[N]
+        return c
+
+    def dyn_con(z):
+        x, u = unpack(z)
+        out = []
+        for k in range(N):
+            out.append(step_np(x[k], u[k]) - x[k + 1])
+        out.append(x[0] - X0)
+        return np.concatenate(out)
+
+    cons = [NonlinearConstraint(dyn_con, 0.0, 0.0)]
+    lb = np.full(nz, -np.inf)
+    ub = np.full(nz, np.inf)
+    lb[(N + 1) * NX:] = -FMAX
+    ub[(N + 1) * NX:] = FMAX
+    z0 = np.concatenate([np.asarray(x_init).ravel(),
+                         np.asarray(u_init).ravel()])
+    res = minimize(fun, z0, method="SLSQP",
+                   bounds=list(zip(lb, ub)), constraints=cons,
+                   options=dict(maxiter=400, ftol=1e-12))
+    return unpack(res.x), res
+
+
+OPTS = SqpOpts(max_iter=50, qp_opts=IpmOpts(iter_max=50))
+
+
+class TestPendulumSqp:
+    def setup_method(self):
+        self.form = build_formulation()
+        self.data = build_data(self.form)
+        self.solver = make_sqp_solver(self.form, OPTS)
+
+    def test_converges_and_kkt(self):
+        init = init_iterate(self.form, jnp.float64,
+                            x_traj=np.tile(X0, (N + 1, 1)))
+        it, stats = self.solver(self.data, init)
+        assert int(stats.status) == 0, np.asarray(stats.stat)[:12]
+        assert float(stats.res_stat) < 1e-6
+        assert float(stats.res_eq) < 1e-6
+        # x0 equality + input bounds
+        np.testing.assert_allclose(np.asarray(it.x[0]), X0, atol=1e-7)
+        assert np.all(np.abs(np.asarray(it.u)) <= FMAX + 1e-6)
+        # input bound must be active somewhere for the swing-up
+        assert np.max(np.abs(np.asarray(it.u))) > FMAX - 1.0
+
+    def test_matches_scipy_transcription(self):
+        init = init_iterate(self.form, jnp.float64,
+                            x_traj=np.tile(X0, (N + 1, 1)))
+        it, stats = self.solver(self.data, init)
+        assert int(stats.status) == 0
+        (x_ref, u_ref), res = scipy_transcription_solve(
+            self.form, self.data, it.x, it.u)
+        # scipy should agree it is a local optimum (warm-started at ours)
+        np.testing.assert_allclose(np.asarray(it.x), x_ref, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(it.u), u_ref, atol=2e-3)
+
+    def test_batch_vmap_matches_serial(self):
+        x0s = np.stack([X0, X0 * 0.5, X0 * 0.9, np.array([0.1, 2.0, 0, 0])])
+        datas = [build_data(self.form, x0=x) for x in x0s]
+        data_b = jax.tree.map(lambda *a: jnp.stack(a), *datas)
+        inits = [init_iterate(self.form, jnp.float64,
+                              x_traj=np.tile(x, (N + 1, 1))) for x in x0s]
+        init_b = jax.tree.map(lambda *a: jnp.stack(a), *inits)
+        solve_b = jax.jit(jax.vmap(self.solver))
+        it_b, st_b = solve_b(data_b, init_b)
+        assert np.all(np.asarray(st_b.status) == 0)
+        for i in range(len(x0s)):
+            it_i, st_i = self.solver(datas[i], inits[i])
+            np.testing.assert_allclose(np.asarray(it_b.x[i]),
+                                       np.asarray(it_i.x), atol=1e-7)
+
+    def test_merit_backtracking_cold_start(self):
+        """Cold (zero) start needs globalization; merit backtracking should
+        still converge (reference: globalization example configs)."""
+        opts = SqpOpts(max_iter=80, globalization="MERIT_BACKTRACKING",
+                       qp_opts=IpmOpts(iter_max=50))
+        solver = make_sqp_solver(self.form, opts)
+        init = init_iterate(self.form, jnp.float64)
+        it, stats = solver(self.data, init)
+        assert int(stats.status) == 0, np.asarray(stats.stat)[:20]
+        assert float(stats.res_stat) < 1e-6

@@ -42,7 +42,7 @@ def random_ocp_qp(key, N=8, nx=4, nu=2, nc=3, with_ineq=True, soft=False,
     D = jnp.zeros((N, nc_tot, nu), dt)
     lg = jnp.zeros((N + 1, nc_tot), dt)
     ug = jnp.zeros((N + 1, nc_tot), dt)
-    mask = jnp.zeros((N + 1, nc_tot), dt)
+    mask = jnp.zeros((N + 1, nc_tot), dt)  # both sides together here
 
     if x0_rows:
         x0 = jax.random.normal(ks[8], (nx,), dt) * 0.5
@@ -82,8 +82,8 @@ def random_ocp_qp(key, N=8, nx=4, nu=2, nc=3, with_ineq=True, soft=False,
         zu = z.at[:, off:].set(1.0)
 
     return OcpQp(Q=Q, R=R, S=S, q=q, r=r, A=A, B=B, b=b, C=C, D=D,
-                 lg=lg, ug=ug, mask=mask, Zl=Zl, Zu=Zu, zl=zl, zu=zu,
-                 soft_mask=soft_mask)
+                 lg=lg, ug=ug, mask_l=mask, mask_u=mask,
+                 Zl=Zl, Zu=Zu, zl=zl, zu=zu, soft_mask=soft_mask)
 
 
 OPTS = IpmOpts(iter_max=50)
@@ -154,11 +154,11 @@ class TestIpm:
         """Masking a constraint row == solving the QP without that row."""
         key = jax.random.PRNGKey(11)
         qp = random_ocp_qp(key, N=6, nx=3, nu=2, nc=3)
-        # mask out the last inequality row everywhere
-        qp_masked = jax.tree.map(lambda x: x, qp)
-        mask2 = qp.mask.at[:, -1].set(0.0)
+        # mask out the last inequality row everywhere (both sides)
+        mask2 = qp.mask_l.at[:, -1].set(0.0)
         qp_masked = OcpQp(**{**{f: getattr(qp, f) for f in
-                                qp.__dataclass_fields__}, "mask": mask2})
+                                qp.__dataclass_fields__},
+                             "mask_l": mask2, "mask_u": mask2})
         sol_m, info_m = solve_ocp_qp(qp_masked, OPTS)
         assert int(info_m.status) == 0
         # build reduced-nc QP without that row
@@ -166,7 +166,8 @@ class TestIpm:
         qp_red = OcpQp(
             Q=qp.Q, R=qp.R, S=qp.S, q=qp.q, r=qp.r, A=qp.A, B=qp.B, b=qp.b,
             C=qp.C[:, sel], D=qp.D[:, sel], lg=qp.lg[:, sel],
-            ug=qp.ug[:, sel], mask=qp.mask[:, sel], Zl=qp.Zl[:, sel],
+            ug=qp.ug[:, sel], mask_l=qp.mask_l[:, sel],
+            mask_u=qp.mask_u[:, sel], Zl=qp.Zl[:, sel],
             Zu=qp.Zu[:, sel], zl=qp.zl[:, sel], zu=qp.zu[:, sel],
             soft_mask=qp.soft_mask[:, sel])
         sol_r, info_r = solve_ocp_qp(qp_red, OPTS)
@@ -262,7 +263,7 @@ class TestSoftConstraints:
         lg2 = lg2.at[:, :nc_orig].set(qp.lg)
         ug2 = ug2.at[:, :nc_orig].set(qp.ug)
         # original soft rows at stages < N: replace by split rows
-        mask_orig = qp.mask.at[:N, off:nc_orig].set(0.0)
+        mask_orig = qp.mask_l.at[:N, off:nc_orig].set(0.0)
         mask2 = mask2.at[:, :nc_orig].set(mask_orig)
 
         for i in range(nc):
@@ -296,7 +297,7 @@ class TestSoftConstraints:
 
         z2 = jnp.zeros((N + 1, n_rows), dt)
         qp2 = OcpQp(Q=qp.Q, R=R2, S=S2, q=qp.q, r=r2, A=qp.A, B=B2, b=qp.b,
-                    C=C2, D=D2, lg=lg2, ug=ug2, mask=mask2,
+                    C=C2, D=D2, lg=lg2, ug=ug2, mask_l=mask2, mask_u=mask2,
                     Zl=z2, Zu=z2, zl=z2, zu=z2, soft_mask=z2)
         sol2, info2 = solve_ocp_qp(qp2, OPTS)
         assert int(info2.status) == 0
