@@ -1,0 +1,30 @@
+"""acados_tpu: TPU-native nonlinear optimal-control (NMPC/MHE) framework.
+
+A from-scratch JAX/XLA reimplementation of the capabilities of acados
+(reference mounted at /root/reference): SQP(-RTI) solvers over
+multiple-shooting OCPs, embedded RK integrators with autodiff
+sensitivities, and a Riccati-based interior-point OCP-QP solver — built
+batch-first (vmap) and mesh-sharded for TPU.
+
+Public API mirrors the reference's Python package
+(interfaces/acados_template/acados_template/__init__.py:31-56).
+"""
+
+from acados_tpu.interface.acados_ocp import (AcadosModel, AcadosOcp,
+                                             AcadosOcpConstraints,
+                                             AcadosOcpCost, AcadosOcpDims,
+                                             AcadosOcpOptions)
+from acados_tpu.interface.batch_solver import AcadosOcpBatchSolver
+from acados_tpu.interface.sim_solver import (AcadosSim, AcadosSimOpts,
+                                             AcadosSimSolver)
+from acados_tpu.interface.solver import AcadosOcpSolver
+from acados_tpu.utils.types import ACADOS_INFTY, AcadosStatus
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AcadosModel", "AcadosOcp", "AcadosOcpConstraints", "AcadosOcpCost",
+    "AcadosOcpDims", "AcadosOcpOptions", "AcadosOcpSolver",
+    "AcadosOcpBatchSolver", "AcadosSim", "AcadosSimOpts", "AcadosSimSolver",
+    "ACADOS_INFTY", "AcadosStatus",
+]

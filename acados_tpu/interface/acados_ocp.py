@@ -1,0 +1,229 @@
+"""AcadosOcp-style problem description (user-facing API).
+
+Field-for-field mirror of the reference Python classes — AcadosModel
+(/root/reference/interfaces/acados_template/acados_template/acados_model.py:55-114),
+AcadosOcpCost/AcadosOcpConstraints (acados_ocp_cost.py / _constraints.py),
+AcadosOcpOptions (acados_ocp_options.py) and AcadosOcp (acados_ocp.py) — so
+reference examples translate mechanically. The one intentional change:
+CasADi symbol expressions become plain jax callables, and `model.x` & co.
+carry only dimensions (assign an int or an array template).
+
+`make_consistent()` (reference acados_ocp.py:267-733) performs dimension
+inference and builds the internal OcpNlpFormulation + default NlpData.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from acados_tpu.utils.types import ACADOS_INFTY
+
+
+def _dim_of(v, default=0):
+    """Dimension carrier: int, or array-like whose length is the dim."""
+    if v is None:
+        return default
+    if isinstance(v, int):
+        return v
+    return int(np.asarray(v).reshape(-1).shape[0])
+
+
+@dataclasses.dataclass
+class AcadosModel:
+    """Reference: acados_model.py:55-114. Dynamics/cost/constraint
+    expressions are jax callables:
+      f_expl_expr(x, u[, p[, t]]) -> xdot
+      f_impl_expr(xdot, x, z, u[, p[, t]]) -> residual
+      disc_dyn_expr(x, u[, p[, t]]) -> x_next
+      cost_y_expr*(x, u[, p[, t]]) -> y
+      cost_expr_ext_cost*(x, u[, p[, t]]) -> scalar
+      con_h_expr*(x, u[, p[, t]]) -> h
+    x/u/z/p are dimension carriers (int or array template)."""
+
+    name: str = "model"
+    x: object = None
+    u: object = None
+    z: object = None
+    p: object = None
+    t: object = None
+    f_expl_expr: Optional[Callable] = None
+    f_impl_expr: Optional[Callable] = None
+    disc_dyn_expr: Optional[Callable] = None
+    cost_y_expr_0: Optional[Callable] = None
+    cost_y_expr: Optional[Callable] = None
+    cost_y_expr_e: Optional[Callable] = None
+    cost_expr_ext_cost_0: Optional[Callable] = None
+    cost_expr_ext_cost: Optional[Callable] = None
+    cost_expr_ext_cost_e: Optional[Callable] = None
+    cost_psi_expr_0: Optional[Callable] = None   # CONL outer
+    cost_psi_expr: Optional[Callable] = None
+    cost_psi_expr_e: Optional[Callable] = None
+    cost_r_in_psi_expr_0: object = None           # CONL residual dim carrier
+    cost_r_in_psi_expr: object = None
+    cost_r_in_psi_expr_e: object = None
+    con_h_expr_0: Optional[Callable] = None
+    con_h_expr: Optional[Callable] = None
+    con_h_expr_e: Optional[Callable] = None
+    x_labels: list = None
+    u_labels: list = None
+    t_label: str = "t"
+
+
+@dataclasses.dataclass
+class AcadosOcpCost:
+    """Reference: acados_ocp_cost.py. LINEAR_LS uses Vx/Vu/W/yref;
+    NONLINEAR_LS uses model.cost_y_expr + W/yref; EXTERNAL uses
+    model.cost_expr_ext_cost; CONL uses cost_psi_expr over cost_y_expr."""
+
+    cost_type_0: Optional[str] = None
+    cost_type: str = "LINEAR_LS"
+    cost_type_e: Optional[str] = None
+    Vx_0: Optional[np.ndarray] = None
+    Vu_0: Optional[np.ndarray] = None
+    W_0: Optional[np.ndarray] = None
+    yref_0: Optional[np.ndarray] = None
+    Vx: Optional[np.ndarray] = None
+    Vu: Optional[np.ndarray] = None
+    W: Optional[np.ndarray] = None
+    yref: Optional[np.ndarray] = None
+    Vx_e: Optional[np.ndarray] = None
+    W_e: Optional[np.ndarray] = None
+    yref_e: Optional[np.ndarray] = None
+    # soft-constraint slack penalties (reference: Zl/Zu quadratic, zl/zu
+    # linear, with _0/_e stage variants)
+    Zl_0: Optional[np.ndarray] = None
+    Zu_0: Optional[np.ndarray] = None
+    zl_0: Optional[np.ndarray] = None
+    zu_0: Optional[np.ndarray] = None
+    Zl: Optional[np.ndarray] = None
+    Zu: Optional[np.ndarray] = None
+    zl: Optional[np.ndarray] = None
+    zu: Optional[np.ndarray] = None
+    Zl_e: Optional[np.ndarray] = None
+    Zu_e: Optional[np.ndarray] = None
+    zl_e: Optional[np.ndarray] = None
+    zu_e: Optional[np.ndarray] = None
+    cost_scaling: Optional[np.ndarray] = None
+
+
+def _arr(v):
+    return None if v is None else np.atleast_1d(np.asarray(v, np.float64))
+
+
+@dataclasses.dataclass
+class AcadosOcpConstraints:
+    """Reference: acados_ocp_constraints.py:47-121. `x0` is sugar for
+    idxbx_0 = arange(nx), lbx_0 = ubx_0 = x0 (the reference does the same)."""
+
+    # initial stage
+    x0: Optional[np.ndarray] = None
+    idxbx_0: Optional[np.ndarray] = None
+    lbx_0: Optional[np.ndarray] = None
+    ubx_0: Optional[np.ndarray] = None
+    # path state/input bounds
+    idxbx: Optional[np.ndarray] = None
+    lbx: Optional[np.ndarray] = None
+    ubx: Optional[np.ndarray] = None
+    idxbu: Optional[np.ndarray] = None
+    lbu: Optional[np.ndarray] = None
+    ubu: Optional[np.ndarray] = None
+    # general linear
+    C: Optional[np.ndarray] = None
+    D: Optional[np.ndarray] = None
+    lg: Optional[np.ndarray] = None
+    ug: Optional[np.ndarray] = None
+    # nonlinear h
+    lh_0: Optional[np.ndarray] = None
+    uh_0: Optional[np.ndarray] = None
+    lh: Optional[np.ndarray] = None
+    uh: Optional[np.ndarray] = None
+    lh_e: Optional[np.ndarray] = None
+    uh_e: Optional[np.ndarray] = None
+    # terminal state bounds / terminal general linear
+    idxbx_e: Optional[np.ndarray] = None
+    lbx_e: Optional[np.ndarray] = None
+    ubx_e: Optional[np.ndarray] = None
+    C_e: Optional[np.ndarray] = None
+    lg_e: Optional[np.ndarray] = None
+    ug_e: Optional[np.ndarray] = None
+    # soft constraint index sets (reference idxs* map into slack vectors)
+    idxsbx: Optional[np.ndarray] = None
+    idxsbu: Optional[np.ndarray] = None
+    idxsg: Optional[np.ndarray] = None
+    idxsh: Optional[np.ndarray] = None
+    idxsh_0: Optional[np.ndarray] = None
+    idxsbx_e: Optional[np.ndarray] = None
+    idxsh_e: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class AcadosOcpDims:
+    """Reference: acados_ocp_dims.py (inferred by make_consistent)."""
+
+    N: Optional[int] = None
+    nx: Optional[int] = None
+    nu: Optional[int] = None
+    nz: int = 0
+    np: int = 0
+
+
+@dataclasses.dataclass
+class AcadosOcpOptions:
+    """Reference: acados_ocp_options.py:46-140 (same names/defaults where
+    they transfer; qp_solver names map onto the internal Riccati IPM)."""
+
+    N_horizon: Optional[int] = None
+    tf: Optional[float] = None
+    time_steps: Optional[np.ndarray] = None
+    shooting_nodes: Optional[np.ndarray] = None
+    qp_solver: str = "PARTIAL_CONDENSING_HPIPM"  # accepted + mapped
+    hessian_approx: str = "GAUSS_NEWTON"
+    integrator_type: str = "ERK"
+    nlp_solver_type: str = "SQP_RTI"
+    globalization: str = "FIXED_STEP"
+    nlp_solver_max_iter: int = 100
+    nlp_solver_tol_stat: float = 1e-6
+    nlp_solver_tol_eq: float = 1e-6
+    nlp_solver_tol_ineq: float = 1e-6
+    nlp_solver_tol_comp: float = 1e-6
+    tol_min_step_norm: float = 1e-12
+    qp_solver_iter_max: int = 50
+    qp_solver_mu0: float = 1e2
+    qp_tol: Optional[float] = None
+    levenberg_marquardt: float = 0.0
+    globalization_alpha_min: float = 0.05
+    globalization_alpha_reduction: float = 0.7
+    sim_method_num_stages: int = 4
+    sim_method_num_steps: int = 1
+    sim_method_newton_iter: int = 3
+    collocation_type: str = "GAUSS_LEGENDRE"
+    # TPU-specific
+    dtype: str = "float32"
+
+    @property
+    def tol(self):
+        return self.nlp_solver_tol_stat
+
+    @tol.setter
+    def tol(self, v):
+        self.nlp_solver_tol_stat = v
+        self.nlp_solver_tol_eq = v
+        self.nlp_solver_tol_ineq = v
+        self.nlp_solver_tol_comp = v
+
+
+@dataclasses.dataclass
+class AcadosOcp:
+    """Reference: acados_ocp.py. Assemble model/cost/constraints/options,
+    then pass to AcadosOcpSolver."""
+
+    model: AcadosModel = dataclasses.field(default_factory=AcadosModel)
+    cost: AcadosOcpCost = dataclasses.field(default_factory=AcadosOcpCost)
+    constraints: AcadosOcpConstraints = dataclasses.field(
+        default_factory=AcadosOcpConstraints)
+    dims: AcadosOcpDims = dataclasses.field(default_factory=AcadosOcpDims)
+    solver_options: AcadosOcpOptions = dataclasses.field(
+        default_factory=AcadosOcpOptions)
+    parameter_values: Optional[np.ndarray] = None

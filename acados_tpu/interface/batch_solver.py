@@ -1,0 +1,152 @@
+"""AcadosOcpBatchSolver: N_batch solves as one sharded vmap.
+
+API mirror of the reference batch solver
+(/root/reference/interfaces/acados_template/acados_template/acados_ocp_batch_solver.py:60-768),
+whose backend is an OpenMP parallel-for over independent C capsules
+(acados_solver.in.c:3223-3244). Here the batch is one vmapped jitted solve
+whose leading axis is sharded over all available devices (ICI), so the same
+code scales from 1 chip to a multi-host slice. `num_threads_in_batch_solve`
+is accepted for compatibility and ignored.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acados_tpu.interface.acados_ocp import AcadosOcp
+from acados_tpu.interface.builder import build_ocp, data_to_jax
+from acados_tpu.interface.solver import AcadosOcpSolver, _sqp_opts_from
+from acados_tpu.ocp_nlp.linearize import NlpIterate
+from acados_tpu.ocp_nlp.sqp import make_sqp_solver
+from acados_tpu.parallel.mesh import make_batch_mesh, shard_batch
+
+
+class _BatchView:
+    """Per-instance get/set view (reference: batch_solver.ocp_solvers[i])."""
+
+    def __init__(self, parent, i):
+        self._p = parent
+        self._i = i
+
+    def set(self, stage, field, value):
+        value = np.atleast_1d(np.asarray(value, np.float64))
+        p, i = self._p, self._i
+        if field in ("x", "u", "pi", "sl", "su"):
+            p._iterate[field][i, stage] = value
+            return
+        if field == "p":
+            p._data["p"][i, stage] = value
+            return
+        if field in ("yref", "W"):
+            key = (field + "_0" if stage == 0
+                   else field + "_e" if stage == p.N else field)
+            if stage in (0, p.N):
+                p._data[key][i] = value
+            else:
+                p._data[key][i, stage - 1] = value
+            return
+        if field in ("lbx", "ubx", "lbu", "ubu", "lg", "ug", "lh", "uh"):
+            lay = p._layout(stage)
+            lower = field.startswith("l")
+            kind = field[1:]
+            off, n = {"bx": (lay.off_bx, lay.nbx),
+                      "bu": (lay.off_bu, lay.nbu),
+                      "g": (lay.off_g, lay.ng),
+                      "h": (lay.off_h, lay.nh)}[kind]
+            if stage == 0:
+                p._data["lb_0" if lower else "ub_0"][i, off:off + n] = value
+            elif stage == p.N:
+                p._data["lb_e" if lower else "ub_e"][i, off:off + n] = value
+            else:
+                p._data["lb" if lower else "ub"][i, stage - 1,
+                                                 off:off + n] = value
+            return
+        raise ValueError(field)
+
+    def get(self, stage, field):
+        p, i = self._p, self._i
+        if field in ("x", "u", "pi", "sl", "su"):
+            return p._iterate[field][i, stage].copy()
+        raise ValueError(field)
+
+    def get_status(self):
+        return int(p_status[self._i]) if (p_status := self._p._status) \
+            is not None else None
+
+
+class AcadosOcpBatchSolver:
+    """Batch of N_batch identical-structure OCPs solved as one vmap."""
+
+    def __init__(self, ocp: AcadosOcp, N_batch: int,
+                 num_threads_in_batch_solve=None, json_file=None,
+                 build=None, generate=None, verbose=False, devices=None):
+        del num_threads_in_batch_solve, json_file, build, generate, verbose
+        self.acados_ocp = ocp
+        self.N_batch = N_batch
+        self.form, data1, self.layouts = build_ocp(ocp)
+        self.opts = _sqp_opts_from(ocp)
+        self.dtype = (jnp.float64 if ocp.solver_options.dtype == "float64"
+                      else jnp.float32)
+        self.N = self.form.N
+        solve1 = make_sqp_solver(self.form, self.opts)
+        self._solve_fn = jax.jit(jax.vmap(solve1))
+        self.mesh = make_batch_mesh(devices)
+        # batch-tiled host data
+        self._data = {k: np.tile(v, (N_batch,) + (1,) * np.ndim(v))
+                      for k, v in data1.items()}
+        N, nx, nu, nc = self.form.N, self.form.nx, self.form.nu, self.form.nc
+        z = lambda *s: np.zeros((N_batch,) + s)
+        self._iterate = dict(x=z(N + 1, nx), u=z(N, nu), pi=z(N, nx),
+                             lam_l=z(N + 1, nc), lam_u=z(N + 1, nc),
+                             sl=z(N + 1, nc), su=z(N + 1, nc))
+        self.ocp_solvers = [_BatchView(self, i) for i in range(N_batch)]
+        self._status = None
+        self._stats = None
+        self._time_tot = float("nan")
+
+    def _layout(self, stage):
+        return self.layouts["0" if stage == 0
+                            else ("e" if stage == self.N else "p")]
+
+    def solve(self, n_batch=None):
+        """Solve all instances; returns array of statuses."""
+        del n_batch
+        data = data_to_jax(self._data, self.dtype)
+        init = NlpIterate(**{k: jnp.asarray(v, self.dtype)
+                             for k, v in self._iterate.items()})
+        if len(self.mesh.devices.flat) > 1 and \
+                self.N_batch % len(self.mesh.devices.flat) == 0:
+            data = shard_batch(data, self.mesh)
+            init = shard_batch(init, self.mesh)
+        t0 = time.perf_counter()
+        it, stats = jax.block_until_ready(self._solve_fn(data, init))
+        self._time_tot = time.perf_counter() - t0
+        self._iterate = {k: np.asarray(getattr(it, k))
+                         for k in self._iterate}
+        self._stats = stats
+        self._status = np.asarray(stats.status)
+        return self._status
+
+    # flattened iterate API (reference get_flat/set_flat,
+    # acados_ocp_batch_solver.py)
+    def get_flat(self, field: str):
+        if field in ("x", "u", "pi", "sl", "su"):
+            return self._iterate[field].reshape(self.N_batch, -1).copy()
+        raise ValueError(field)
+
+    def set_flat(self, field: str, value):
+        tgt = self._iterate[field]
+        self._iterate[field] = np.asarray(value, np.float64).reshape(
+            tgt.shape)
+
+    def get_stats(self, field):
+        if field == "time_tot":
+            return self._time_tot
+        if field == "sqp_iter" or field == "nlp_iter":
+            return np.asarray(self._stats.sqp_iter)
+        if field == "qp_iter":
+            return np.asarray(self._stats.qp_iter_total)
+        raise ValueError(field)

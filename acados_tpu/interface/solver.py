@@ -1,0 +1,304 @@
+"""AcadosOcpSolver: the user-facing solve/get/set surface.
+
+API mirror of the reference AcadosOcpSolver
+(/root/reference/interfaces/acados_template/acados_template/acados_ocp_solver.py):
+solve / get / set / cost_set / constraints_set / get_stats / get_cost /
+get_residuals / store_iterate / load_iterate / reset / solve_for_x0 /
+print_statistics. Instead of codegen + ctypes into a C capsule
+(acados_ocp_solver.py:126-355), construction builds a jitted SQP solve
+closure; `set` mutates host-side numpy data that is shipped to device at
+`solve()`. Data changes never recompile — only changing the problem
+structure or options does.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acados_tpu.interface.acados_ocp import AcadosOcp
+from acados_tpu.interface.builder import StageLayout, build_ocp, data_to_jax
+from acados_tpu.ocp_nlp.linearize import NlpIterate
+from acados_tpu.ocp_nlp.sqp import SqpOpts, make_sqp_solver
+from acados_tpu.ocp_qp.ipm import IpmOpts
+from acados_tpu.utils.types import ACADOS_INFTY
+
+
+def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
+    so = ocp.solver_options
+    qp_tol = so.qp_tol
+    if qp_tol is None:
+        # QP solved tighter than the NLP tolerance (reference default
+        # behavior: qp tol ~ 1e-2 * nlp tol, floor at dtype capability)
+        qp_tol = min(so.nlp_solver_tol_stat * 1e-1, 1e-6) \
+            if so.dtype == "float64" else max(
+                so.nlp_solver_tol_stat * 1e-1, 1e-6)
+    qp_opts = IpmOpts(iter_max=so.qp_solver_iter_max, mu0=so.qp_solver_mu0,
+                      tol_stat=qp_tol, tol_eq=qp_tol, tol_ineq=qp_tol,
+                      tol_comp=qp_tol)
+    max_iter = (1 if so.nlp_solver_type == "SQP_RTI"
+                else so.nlp_solver_max_iter)
+    return SqpOpts(
+        max_iter=max_iter,
+        rti=(so.nlp_solver_type == "SQP_RTI"),
+        tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
+        tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp,
+        tol_min_step_norm=so.tol_min_step_norm,
+        levenberg_marquardt=so.levenberg_marquardt,
+        globalization=(so.globalization
+                       if so.nlp_solver_type != "SQP_RTI" else "FIXED_STEP"),
+        alpha_min=so.globalization_alpha_min,
+        alpha_reduction=so.globalization_alpha_reduction,
+        qp_opts=qp_opts)
+
+
+class AcadosOcpSolver:
+    """Drop-in style replacement for the reference class of the same name."""
+
+    def __init__(self, ocp: AcadosOcp, json_file=None, build=None,
+                 generate=None, verbose=False):
+        del json_file, build, generate, verbose  # codegen-era args accepted
+        self.acados_ocp = ocp
+        self.form, self._data, self.layouts = build_ocp(ocp)
+        self.opts = _sqp_opts_from(ocp)
+        self.dtype = (jnp.float64 if ocp.solver_options.dtype == "float64"
+                      else jnp.float32)
+        if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
+            raise RuntimeError("dtype float64 requires jax_enable_x64")
+        self._solve_fn = make_sqp_solver(self.form, self.opts)
+        self.N = self.form.N
+        self._iterate = self._zero_iterate()
+        self._default_init = True
+        self._last_stats = None
+        self._time_tot = float("nan")
+
+    # -- iterate management --------------------------------------------------
+    def _zero_iterate(self):
+        N, nx, nu, nc = (self.form.N, self.form.nx, self.form.nu,
+                         self.form.nc)
+        z = lambda *s: np.zeros(s)
+        return dict(x=z(N + 1, nx), u=z(N, nu), pi=z(N, nx),
+                    lam_l=z(N + 1, nc), lam_u=z(N + 1, nc),
+                    sl=z(N + 1, nc), su=z(N + 1, nc))
+
+    def _iterate_jax(self) -> NlpIterate:
+        return NlpIterate(**{k: jnp.asarray(v, self.dtype)
+                             for k, v in self._iterate.items()})
+
+    def reset(self, reset_qp_solver_mem=1):
+        """Reference: acados_ocp_solver.py reset()."""
+        del reset_qp_solver_mem
+        self._iterate = self._zero_iterate()
+        self._default_init = True
+
+    # -- solve ----------------------------------------------------------------
+    def solve(self) -> int:
+        """Solve; returns acados status (0 success)."""
+        if self._default_init:
+            # reference-style default initialization: x ~ x0 everywhere
+            lay = self.layouts["0"]
+            if lay.nbx:
+                x0 = 0.5 * (self._data["lb_0"][:lay.nbx]
+                            + self._data["ub_0"][:lay.nbx])
+                xs = np.array(self._iterate["x"])
+                idx = list(self.form.con_0.idxbx)
+                xs[:, idx] = np.clip(x0, -1e6, 1e6)
+                self._iterate["x"] = xs
+            self._default_init = False
+        t0 = time.perf_counter()
+        it, stats = self._solve_fn(data_to_jax(self._data, self.dtype),
+                                   self._iterate_jax())
+        it, stats = jax.block_until_ready((it, stats))
+        self._time_tot = time.perf_counter() - t0
+        self._iterate = {k: np.asarray(getattr(it, k))
+                         for k in self._iterate}
+        self._last_stats = stats
+        return int(stats.status)
+
+    def solve_for_x0(self, x0_bar, fail_on_nonzero_status=True,
+                     print_stats_on_failure=True):
+        """Reference: acados_ocp_solver.py solve_for_x0."""
+        self.set(0, "lbx", x0_bar)
+        self.set(0, "ubx", x0_bar)
+        status = self.solve()
+        if status != 0:
+            if print_stats_on_failure:
+                self.print_statistics()
+            if fail_on_nonzero_status:
+                raise RuntimeError(f"solve failed with status {status}")
+        return self.get(0, "u")
+
+    # -- get / set -------------------------------------------------------------
+    def get(self, stage: int, field: str):
+        """Reference: ocp_nlp_get_at_stage (ocp_nlp_interface.c:1704)."""
+        it = self._iterate
+        if field == "x":
+            return it["x"][stage].copy()
+        if field == "u":
+            return it["u"][stage].copy()
+        if field == "pi":
+            return it["pi"][stage].copy()
+        if field in ("sl", "su"):
+            lay = self._layout(stage)
+            return it[field][stage][self._soft_slice(stage)].copy()
+        if field == "lam":
+            # reference lam layout: [lam_lb; lam_ub] over the stage's rows
+            lay = self._layout(stage)
+            n = lay.nrows
+            return np.concatenate([it["lam_l"][stage][:n],
+                                   it["lam_u"][stage][:n]])
+        raise ValueError(f"get: unknown field {field!r}")
+
+    def _layout(self, stage) -> StageLayout:
+        return self.layouts["0" if stage == 0
+                            else ("e" if stage == self.N else "p")]
+
+    def _soft_slice(self, stage):
+        spec = (self.form.con_0 if stage == 0 else
+                self.form.con_e if stage == self.N else self.form.con)
+        return list(spec.soft_rows)
+
+    def set(self, stage: int, field: str, value):
+        """Reference: acados_ocp_solver.py set() — iterate fields and the
+        common data fields (p, yref, bounds)."""
+        value = np.atleast_1d(np.asarray(value, np.float64))
+        it = self._iterate
+        if field in ("x", "u", "pi", "sl", "su"):
+            if field == "x":
+                it["x"][stage] = value
+            elif field == "u":
+                it["u"][stage] = value
+            elif field == "pi":
+                it["pi"][stage] = value
+            else:
+                rows = self._soft_slice(stage)
+                it[field][stage][rows] = value
+            self._default_init = False
+            return
+        if field == "p":
+            self._data["p"][stage] = value
+            return
+        if field in ("yref", "W"):
+            self.cost_set(stage, field, value)
+            return
+        if field in ("lbx", "ubx", "lbu", "ubu", "lg", "ug", "lh", "uh"):
+            self.constraints_set(stage, field, value)
+            return
+        raise ValueError(f"set: unknown field {field!r}")
+
+    def cost_set(self, stage: int, field: str, value):
+        """Reference: acados_ocp_solver.py cost_set."""
+        value = np.asarray(value, np.float64)
+        if field == "yref":
+            if stage == 0:
+                self._data["yref_0"] = value
+            elif stage == self.N:
+                self._data["yref_e"] = value
+            else:
+                self._data["yref"][stage - 1] = value
+            return
+        if field == "W":
+            if stage == 0:
+                self._data["W_0"] = value
+            elif stage == self.N:
+                self._data["W_e"] = value
+            else:
+                self._data["W"][stage - 1] = value
+            return
+        if field in ("Zl", "Zu", "zl", "zu"):
+            rows = self._soft_slice(stage)
+            key = field + ("_0" if stage == 0 else
+                           "_e" if stage == self.N else "")
+            tgt = self._data[key] if stage in (0, self.N) \
+                else self._data[key][stage - 1]
+            sc = np.atleast_1d(value)
+            for j, rowi in enumerate(rows):
+                tgt[rowi] = sc[j] if j < len(sc) else sc[-1]
+            return
+        raise ValueError(f"cost_set: unknown field {field!r}")
+
+    def constraints_set(self, stage: int, field: str, value):
+        """Reference: acados_ocp_solver.py constraints_set. Maps the
+        per-kind bound vectors onto the unified rows."""
+        value = np.atleast_1d(np.asarray(value, np.float64))
+        lay = self._layout(stage)
+        lower = field.startswith("l")
+        kind = field[1:]
+        off, n = {"bx": (lay.off_bx, lay.nbx), "bu": (lay.off_bu, lay.nbu),
+                  "g": (lay.off_g, lay.ng), "h": (lay.off_h, lay.nh)}[kind]
+        if n == 0:
+            raise ValueError(f"stage {stage} has no '{kind}' rows")
+        if stage == 0:
+            key = "lb_0" if lower else "ub_0"
+            self._data[key][off:off + n] = value
+        elif stage == self.N:
+            key = "lb_e" if lower else "ub_e"
+            self._data[key][off:off + n] = value
+        else:
+            key = "lb" if lower else "ub"
+            self._data[key][stage - 1][off:off + n] = value
+
+    # -- stats ------------------------------------------------------------------
+    def get_cost(self) -> float:
+        return float(self._last_stats.cost)
+
+    def get_residuals(self, recompute=False):
+        s = self._last_stats
+        return np.array([float(s.res_stat), float(s.res_eq),
+                         float(s.res_ineq), float(s.res_comp)])
+
+    def get_stats(self, field: str):
+        """Reference: acados_ocp_solver.py get_stats (subset)."""
+        s = self._last_stats
+        if field == "sqp_iter" or field == "nlp_iter":
+            return int(s.sqp_iter)
+        if field == "qp_iter":
+            return int(s.qp_iter_total)
+        if field == "statistics":
+            n = int(s.sqp_iter) + 1
+            tab = np.asarray(s.stat)[:n]
+            return np.concatenate([np.arange(n)[:, None], tab],
+                                  axis=1).T
+        if field in ("time_tot", "time_lin", "time_qp", "time_sim"):
+            return self._time_tot if field == "time_tot" else float("nan")
+        if field == "residuals":
+            return self.get_residuals()
+        if field == "cost_value":
+            return self.get_cost()
+        raise ValueError(f"get_stats: unknown field {field!r}")
+
+    def print_statistics(self):
+        """Reference-style iteration table (ocp_nlp_sqp.c print_iteration)."""
+        tab = self.get_stats("statistics").T
+        cols = ["iter", "res_stat", "res_eq", "res_ineq", "res_comp",
+                "qp_status", "qp_iter", "alpha", "step_norm"]
+        print("  ".join(f"{c:>9s}" for c in cols))
+        for row in tab:
+            print("  ".join(f"{int(row[0]):>9d}" if i == 0 else
+                            f"{row[i]:>9.3e}" for i in range(len(cols))))
+
+    # -- iterate save/load -------------------------------------------------------
+    def store_iterate_to_obj(self):
+        """Reference: AcadosOcpIterate (acados_ocp_iterate.py:40)."""
+        return {k: v.copy() for k, v in self._iterate.items()}
+
+    def load_iterate_from_obj(self, obj):
+        for k in self._iterate:
+            self._iterate[k] = np.asarray(obj[k], np.float64).copy()
+        self._default_init = False
+
+    def store_iterate(self, filename: str, overwrite=True, verbose=False):
+        """Reference: store_iterate -> json file."""
+        del overwrite, verbose
+        with open(filename, "w") as f:
+            json.dump({k: v.tolist() for k, v in self._iterate.items()}, f)
+
+    def load_iterate(self, filename: str, verbose=False):
+        del verbose
+        with open(filename) as f:
+            obj = json.load(f)
+        self.load_iterate_from_obj({k: np.asarray(v) for k, v in
+                                    obj.items()})

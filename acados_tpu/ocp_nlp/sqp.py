@@ -54,6 +54,12 @@ class SqpOpts:
     alpha_min: float = 0.05
     alpha_reduction: float = 0.7
     full_step_dual: bool = static_field(default=False)
+    rti: bool = static_field(default=False)
+    # SQP_RTI semantics: one iteration, success unless NaN/QP failure
+    # (reference ocp_nlp_sqp_rti.c never checks NLP convergence).
+    matmul_precision: str = static_field(default="highest")
+    # bf16 MXU passes corrupt cost/constraint gradients on TPU (residual
+    # norms stall ~1e-2); see IpmOpts.matmul_precision.
     qp_opts: IpmOpts = None
 
     def __post_init__(self):
@@ -139,6 +145,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
     """
 
     def solve(data: NlpData, init: NlpIterate):
+        with jax.default_matmul_precision(opts.matmul_precision):
+            return _solve(data, init)
+
+    def _solve(data: NlpData, init: NlpIterate):
         dtype = init.x.dtype
         static_rows = build_static_rows(form, dtype)
         lm = jnp.asarray(opts.levenberg_marquardt, dtype)
@@ -259,6 +269,9 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         converged = ((rs < opts.tol_stat) & (re < opts.tol_eq)
                      & (ri < opts.tol_ineq) & (rc < opts.tol_comp))
         status = jnp.where(converged, 0, status)
+        if opts.rti:
+            # MAXITER / MINSTEP are success for the real-time iteration
+            status = jnp.where((status == 2) | (status == 3), 0, status)
         cost = eval_cost(form, data, it.x, it.u, it.sl, it.su, soft_scaled)
         stats = SqpStats(status=status, sqp_iter=k, qp_iter_total=qp_tot,
                          res_stat=rs, res_eq=re, res_ineq=ri, res_comp=rc,

@@ -34,6 +34,8 @@ def pytree_dataclass(cls: type[_T]) -> type[_T]:
     jax.tree_util.register_dataclass(
         cls, data_fields=data_fields, meta_fields=meta_fields
     )
+    if "replace" not in cls.__dict__:
+        cls.replace = lambda self, **ch: dataclasses.replace(self, **ch)
     return cls
 
 

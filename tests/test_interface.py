@@ -1,0 +1,182 @@
+"""Interface tests: the reference getting-started example translated
+mechanically to acados_tpu (minimal_example_ocp.py /
+minimal_example_sim.py / minimal_example_closed_loop.py patterns)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acados_tpu import (AcadosOcp, AcadosOcpBatchSolver, AcadosOcpSolver,
+                        AcadosSim, AcadosSimSolver)
+
+from test_sim import pendulum_ode
+
+
+def export_pendulum_model():
+    from acados_tpu import AcadosModel
+    model = AcadosModel()
+    model.name = "pendulum_ode"
+    model.x = 4
+    model.u = 1
+    model.f_expl_expr = lambda x, u: pendulum_ode(x, u, None, 0.0)
+    return model
+
+
+def make_ocp(N=20, Tf=1.0, dtype="float64", nlp_solver_type="SQP"):
+    ocp = AcadosOcp()
+    model = export_pendulum_model()
+    ocp.model = model
+    nx, nu = 4, 1
+
+    ocp.solver_options.N_horizon = N
+    ocp.solver_options.tf = Tf
+
+    Q_mat = 2 * np.diag([1e3, 1e3, 1e-2, 1e-2])
+    R_mat = 2 * np.diag([1e-2])
+
+    ocp.cost.cost_type = "NONLINEAR_LS"
+    ocp.model.cost_y_expr = lambda x, u: jnp.concatenate([x, u])
+    ocp.cost.yref = np.zeros(nx + nu)
+    ocp.cost.W = np.block([[Q_mat, np.zeros((nx, nu))],
+                           [np.zeros((nu, nx)), R_mat]])
+
+    ocp.cost.cost_type_e = "NONLINEAR_LS"
+    ocp.cost.yref_e = np.zeros(nx)
+    ocp.model.cost_y_expr_e = lambda x: x
+    ocp.cost.W_e = Q_mat
+
+    Fmax = 80.0
+    ocp.constraints.lbu = np.array([-Fmax])
+    ocp.constraints.ubu = np.array([+Fmax])
+    ocp.constraints.idxbu = np.array([0])
+    ocp.constraints.x0 = np.array([0.0, np.pi, 0.0, 0.0])
+
+    ocp.solver_options.hessian_approx = "GAUSS_NEWTON"
+    ocp.solver_options.integrator_type = "ERK"
+    ocp.solver_options.sim_method_num_steps = 2
+    ocp.solver_options.nlp_solver_type = nlp_solver_type
+    ocp.solver_options.dtype = dtype
+    return ocp
+
+
+class TestGettingStarted:
+    def test_minimal_example_ocp(self):
+        ocp = make_ocp()
+        solver = AcadosOcpSolver(ocp)
+        status = solver.solve()
+        assert status == 0
+        solver.print_statistics()
+        # trajectory endpoints
+        x0 = solver.get(0, "x")
+        np.testing.assert_allclose(x0, [0, np.pi, 0, 0], atol=1e-7)
+        u0 = solver.get(0, "u")
+        assert abs(u0[0]) <= 80.0 + 1e-6
+        res = solver.get_residuals()
+        assert res[0] < 1e-6 and res[1] < 1e-6
+        assert solver.get_cost() > 0
+
+    def test_solve_for_x0_closed_loop(self):
+        """Closed-loop MPC + plant sim (minimal_example_closed_loop.py)."""
+        ocp = make_ocp(nlp_solver_type="SQP_RTI")
+        solver = AcadosOcpSolver(ocp)
+
+        sim = AcadosSim()
+        sim.model = export_pendulum_model()
+        sim.solver_options.T = 1.0 / 20
+        sim.solver_options.num_steps = 4
+        plant = AcadosSimSolver(sim)
+
+        x = np.array([0.0, 0.3, 0.0, 0.0])  # small angle stabilization
+        for step in range(40):
+            u = solver.solve_for_x0(x, fail_on_nonzero_status=False)
+            x = plant.simulate(x=x, u=u)
+        # stabilized upright
+        assert np.abs(x[1]) < 1e-2, x
+        assert np.linalg.norm(x) < 0.1, x
+
+    def test_iterate_roundtrip(self, tmp_path):
+        ocp = make_ocp()
+        solver = AcadosOcpSolver(ocp)
+        assert solver.solve() == 0
+        fn = str(tmp_path / "it.json")
+        solver.store_iterate(fn)
+        obj = solver.store_iterate_to_obj()
+        solver.reset()
+        solver.load_iterate(fn)
+        it2 = solver.store_iterate_to_obj()
+        for k in obj:
+            np.testing.assert_allclose(obj[k], it2[k])
+        # warm-started re-solve converges immediately
+        assert solver.solve() == 0
+        assert solver.get_stats("sqp_iter") <= 1
+
+    def test_cost_and_constraint_set(self):
+        ocp = make_ocp()
+        solver = AcadosOcpSolver(ocp)
+        solver.solve()
+        u_ref = solver.get(5, "u")
+        # tighten the input bound and re-solve
+        solver.constraints_set(5, "lbu", np.array([-10.0]))
+        solver.constraints_set(5, "ubu", np.array([10.0]))
+        assert solver.solve() == 0
+        u5 = solver.get(5, "u")
+        assert abs(u5[0]) <= 10.0 + 1e-6
+        # yref update changes the solution
+        for k in range(1, 20):
+            solver.cost_set(k, "yref", np.array([0.5, 0, 0, 0, 0]))
+        assert solver.solve() == 0
+
+
+class TestSimSolver:
+    def test_minimal_example_sim(self):
+        sim = AcadosSim()
+        sim.model = export_pendulum_model()
+        sim.solver_options.T = 0.1
+        sim.solver_options.num_steps = 10
+        sim.solver_options.sens_adj = True
+        solver = AcadosSimSolver(sim)
+        x0 = np.array([0.0, np.pi / 4, 0.0, 0.0])
+        u0 = np.array([1.0])
+        solver.set("seed_adj", np.ones(4))
+        xn = solver.simulate(x=x0, u=u0)
+        from scipy.integrate import solve_ivp
+        ref = solve_ivp(lambda t, x: np.asarray(pendulum_ode(
+            jnp.asarray(x), jnp.asarray(u0), None, t)), (0, 0.1), x0,
+            rtol=1e-12, atol=1e-12).y[:, -1]
+        np.testing.assert_allclose(xn, ref, atol=1e-8)
+        S = solver.get("S_forw")
+        assert S.shape == (4, 5)
+        np.testing.assert_allclose(solver.get("S_adj"),
+                                   np.ones(4) @ S, atol=1e-10)
+
+
+class TestBatchSolver:
+    def test_batch_matches_serial(self):
+        """Reference parity test pattern: test_batch_solvers.py."""
+        ocp = make_ocp()
+        ocp.solver_options.globalization = "MERIT_BACKTRACKING"
+        B = 4
+        batch = AcadosOcpBatchSolver(ocp, N_batch=B)
+        serial = AcadosOcpSolver(ocp)
+        x0s = [np.array([0.0, np.pi, 0.0, 0.0]),
+               np.array([0.1, 2.0, 0.0, 0.0]),
+               np.array([0.0, 2.8, 0.1, 0.0]),
+               np.array([-0.1, 2.5, 0.0, 0.1])]
+        for i, x0 in enumerate(x0s):
+            v = batch.ocp_solvers[i]
+            # bounds + init trajectory
+            v.set(0, "lbx", x0)
+            v.set(0, "ubx", x0)
+            for k in range(21):
+                v.set(k, "x", x0)
+        statuses = batch.solve()
+        assert np.all(statuses == 0), statuses
+        for i, x0 in enumerate(x0s):
+            serial.reset()
+            serial.set(0, "lbx", x0)
+            serial.set(0, "ubx", x0)
+            for k in range(21):
+                serial.set(k, "x", x0)
+            assert serial.solve() == 0
+            np.testing.assert_allclose(batch.ocp_solvers[i].get(3, "x"),
+                                       serial.get(3, "x"), atol=1e-8)
