@@ -22,6 +22,10 @@ import numpy as np
 from acados_tpu.interface.acados_ocp import AcadosOcp
 from acados_tpu.interface.builder import StageLayout, build_ocp, data_to_jax
 from acados_tpu.ocp_nlp.linearize import NlpIterate
+from acados_tpu.ocp_nlp.rti import make_rti_solver
+from acados_tpu.ocp_nlp.sensitivity import (KktFactor, SensOpts,
+                                            adjoint_sensitivity,
+                                            forward_sensitivity)
 from acados_tpu.ocp_nlp.sqp import SqpOpts, make_sqp_solver
 from acados_tpu.ocp_qp.ipm import IpmOpts
 from acados_tpu.utils.types import ACADOS_INFTY
@@ -69,11 +73,16 @@ class AcadosOcpSolver:
         if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
             raise RuntimeError("dtype float64 requires jax_enable_x64")
         self._solve_fn = make_sqp_solver(self.form, self.opts)
+        self._rti_fns = None  # built lazily on first rti_phase use
+        self._rti_phase = 0
+        self._rti_cache = None
         self.N = self.form.N
         self._iterate = self._zero_iterate()
         self._default_init = True
         self._last_stats = None
         self._time_tot = float("nan")
+        self._time_prep = float("nan")
+        self._time_fb = float("nan")
 
     # -- iterate management --------------------------------------------------
     def _zero_iterate(self):
@@ -94,20 +103,90 @@ class AcadosOcpSolver:
         self._iterate = self._zero_iterate()
         self._default_init = True
 
+    # -- options ---------------------------------------------------------------
+    def options_set(self, field: str, value):
+        """Reference: acados_ocp_solver.py options_set (subset: the
+        runtime-settable options; structural ones raise)."""
+        if field == "rti_phase":
+            value = int(value)
+            if value not in (0, 1, 2):
+                raise ValueError("rti_phase must be 0, 1 or 2")
+            if value and self.acados_ocp.solver_options.nlp_solver_type \
+                    != "SQP_RTI":
+                raise ValueError("rti_phase requires SQP_RTI")
+            self._rti_phase = value
+            return
+        if field == "levenberg_marquardt":
+            self.opts = self.opts.replace(levenberg_marquardt=float(value))
+        elif field in ("tol_stat", "tol_eq", "tol_ineq", "tol_comp"):
+            self.opts = self.opts.replace(**{field: float(value)})
+        elif field in ("qp_tol_stat", "qp_tol_eq", "qp_tol_ineq",
+                       "qp_tol_comp"):
+            self.opts = self.opts.replace(
+                qp_opts=self.opts.qp_opts.replace(
+                    **{field[3:]: float(value)}))
+        else:
+            raise ValueError(f"options_set: unsupported field {field!r}")
+        self._solve_fn = make_sqp_solver(self.form, self.opts)
+        self._rti_fns = None
+
+    def _ensure_rti(self):
+        if self._rti_fns is None:
+            self._rti_fns = make_rti_solver(self.form, self.opts)
+        return self._rti_fns
+
+    def _solve_rti_phase(self) -> int:
+        prepare, feedback = self._ensure_rti()
+        self._maybe_default_init()
+        if self._rti_phase == 1:
+            t0 = time.perf_counter()
+            self._rti_cache = jax.block_until_ready(prepare(
+                data_to_jax(self._data, self.dtype), self._iterate_jax()))
+            self._time_prep = time.perf_counter() - t0
+            self._time_tot = self._time_prep
+            return 0
+        if self._rti_cache is None:
+            # feedback without preparation: prepare implicitly (reference
+            # requires the user to order the phases; be forgiving)
+            t0 = time.perf_counter()
+            self._rti_cache = prepare(data_to_jax(self._data, self.dtype),
+                                      self._iterate_jax())
+            self._time_prep = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        it, stats = jax.block_until_ready(feedback(
+            self._rti_cache, data_to_jax(self._data, self.dtype),
+            self._iterate_jax()))
+        self._time_fb = time.perf_counter() - t0
+        self._time_tot = self._time_fb
+        self._iterate = {k: np.asarray(getattr(it, k))
+                         for k in self._iterate}
+        self._last_stats = stats
+        self._rti_cache = None
+        self._default_init = False
+        return int(stats.status)
+
     # -- solve ----------------------------------------------------------------
+    def _maybe_default_init(self):
+        if not self._default_init:
+            return
+        # reference-style default initialization: x ~ x0 everywhere
+        lay = self.layouts["0"]
+        if lay.nbx:
+            x0 = 0.5 * (self._data["lb_0"][:lay.nbx]
+                        + self._data["ub_0"][:lay.nbx])
+            xs = np.array(self._iterate["x"])
+            idx = list(self.form.con_0.idxbx)
+            xs[:, idx] = np.clip(x0, -1e6, 1e6)
+            self._iterate["x"] = xs
+        self._default_init = False
+
     def solve(self) -> int:
-        """Solve; returns acados status (0 success)."""
-        if self._default_init:
-            # reference-style default initialization: x ~ x0 everywhere
-            lay = self.layouts["0"]
-            if lay.nbx:
-                x0 = 0.5 * (self._data["lb_0"][:lay.nbx]
-                            + self._data["ub_0"][:lay.nbx])
-                xs = np.array(self._iterate["x"])
-                idx = list(self.form.con_0.idxbx)
-                xs[:, idx] = np.clip(x0, -1e6, 1e6)
-                self._iterate["x"] = xs
-            self._default_init = False
+        """Solve; returns acados status (0 success). For SQP_RTI with
+        rti_phase set via options_set, runs only that phase
+        (reference: ocp_nlp_sqp_rti.c rti_phase PREPARATION/FEEDBACK)."""
+        if self._rti_phase in (1, 2):
+            return self._solve_rti_phase()
+        self._maybe_default_init()
         t0 = time.perf_counter()
         it, stats = self._solve_fn(data_to_jax(self._data, self.dtype),
                                    self._iterate_jax())
@@ -241,6 +320,117 @@ class AcadosOcpSolver:
             key = "lb" if lower else "ub"
             self._data[key][stage - 1][off:off + n] = value
 
+    # -- solution sensitivities -------------------------------------------------
+    def _kkt_factor(self) -> KktFactor:
+        return KktFactor(self.form, SensOpts(),
+                         data_to_jax(self._data, self.dtype),
+                         self._iterate_jax())
+
+    def _zero_data_tangent(self):
+        data = data_to_jax(self._data, self.dtype)
+        return jax.tree.map(jnp.zeros_like, data), data
+
+    def eval_param_sens(self, index: int, stage=None):
+        """Forward solution sensitivity wrt one parameter entry.
+        Reference: AcadosOcpSolver.eval_param_sens ->
+        ocp_nlp_common_eval_param_sens (ocp_nlp_common.c:4039). stage=None
+        seeds the parameter at ALL stages (the reference's global-parameter
+        convention); an int seeds only that stage.
+
+        Returns dict with 'sens_x' (N+1, nx) and 'sens_u' (N, nu)."""
+        d_data, _ = self._zero_data_tangent()
+        p = np.zeros_like(self._data["p"])
+        if stage is None:
+            p[:, index] = 1.0
+        else:
+            p[stage, index] = 1.0
+        d_data = d_data.replace(p=jnp.asarray(p, self.dtype))
+        kf = self._kkt_factor()
+        dx, du, dpi, _, _ = forward_sensitivity(kf, d_data)
+        return {"sens_x": np.asarray(dx), "sens_u": np.asarray(du)}
+
+    def eval_solution_sensitivity(self, stages, with_respect_to,
+                                  return_sens_x=True, return_sens_u=True,
+                                  sanity_checks=True):
+        """Forward sensitivities of (x_stage, u_stage) wrt all entries of
+        'initial_state' or 'params_global'/'p_global'. Reference:
+        acados_ocp_solver.py eval_solution_sensitivity.
+
+        Returns (sens_x, sens_u): lists over stages of arrays with a
+        trailing axis over the n_wrt seed directions."""
+        del sanity_checks
+        if isinstance(stages, int):
+            stages = [stages]
+        kf = self._kkt_factor()
+        zero, _ = self._zero_data_tangent()
+        if with_respect_to in ("params_global", "p_global", "p"):
+            n_wrt = self.form.np_
+            def seed(i):
+                p = jnp.zeros_like(zero.p).at[:, i].set(1.0)
+                return zero.replace(p=p)
+        elif with_respect_to == "initial_state":
+            lay = self.layouts["0"]
+            n_wrt = lay.nbx
+            def seed(i):
+                e = jnp.zeros_like(zero.lb_0).at[lay.off_bx + i].set(1.0)
+                return zero.replace(lb_0=e, ub_0=e)
+        else:
+            raise ValueError(with_respect_to)
+        sens_x = [np.zeros((self.form.nx, n_wrt)) for _ in stages]
+        sens_u = [np.zeros((self.form.nu, n_wrt)) for _ in stages]
+        for i in range(n_wrt):
+            dx, du, _, _, _ = forward_sensitivity(kf, seed(i))
+            dx, du = np.asarray(dx), np.asarray(du)
+            for j, s in enumerate(stages):
+                sens_x[j][:, i] = dx[s]
+                if s < self.N:
+                    sens_u[j][:, i] = du[s]
+        out = []
+        if return_sens_x:
+            out.append(sens_x if len(stages) > 1 else sens_x[0])
+        if return_sens_u:
+            out.append(sens_u if len(stages) > 1 else sens_u[0])
+        return tuple(out) if len(out) > 1 else out[0]
+
+    def eval_adjoint_solution_sensitivity(self, seed_x, seed_u,
+                                          with_respect_to="params_global",
+                                          sanity_checks=True):
+        """Adjoint solution sensitivity: gradient of sum of seeded solution
+        entries wrt the parameters. Reference:
+        eval_adjoint_solution_sensitivity -> eval_solution_sens_adj_p
+        (ocp_nlp_common.c:4108). seed_x/seed_u: lists of (stage, seed_vec)
+        pairs, or full (N+1, nx)/(N, nu) arrays, or None.
+
+        Returns gradient array: (np,) for 'params_global', or the full
+        NlpData cotangent pytree for 'all'."""
+        del sanity_checks
+        sx = np.zeros((self.N + 1, self.form.nx))
+        su = np.zeros((self.N, self.form.nu))
+        def fill(tgt, seeds):
+            if seeds is None:
+                return
+            if isinstance(seeds, (list, tuple)):
+                for stage, vec in seeds:
+                    tgt[stage] += np.asarray(vec).reshape(tgt[stage].shape)
+            else:
+                tgt[:] = np.asarray(seeds).reshape(tgt.shape)
+        fill(sx, seed_x)
+        fill(su, seed_u)
+        kf = self._kkt_factor()
+        grad = adjoint_sensitivity(kf, jnp.asarray(sx, self.dtype),
+                                   jnp.asarray(su, self.dtype))
+        if with_respect_to in ("params_global", "p_global", "p"):
+            return np.asarray(grad.p).sum(axis=0)
+        if with_respect_to == "p_stagewise":
+            return np.asarray(grad.p)
+        if with_respect_to == "initial_state":
+            lay = self.layouts["0"]
+            g = np.asarray(grad.lb_0) + np.asarray(grad.ub_0)
+            return g[lay.off_bx:lay.off_bx + lay.nbx]
+        if with_respect_to == "all":
+            return grad
+        raise ValueError(with_respect_to)
+
     # -- stats ------------------------------------------------------------------
     def get_cost(self) -> float:
         return float(self._last_stats.cost)
@@ -262,6 +452,10 @@ class AcadosOcpSolver:
             tab = np.asarray(s.stat)[:n]
             return np.concatenate([np.arange(n)[:, None], tab],
                                   axis=1).T
+        if field == "time_preparation":
+            return self._time_prep
+        if field == "time_feedback":
+            return self._time_fb
         if field in ("time_tot", "time_lin", "time_qp", "time_sim"):
             return self._time_tot if field == "time_tot" else float("nan")
         if field == "residuals":

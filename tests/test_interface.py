@@ -180,3 +180,40 @@ class TestBatchSolver:
             assert serial.solve() == 0
             np.testing.assert_allclose(batch.ocp_solvers[i].get(3, "x"),
                                        serial.get(3, "x"), atol=1e-8)
+
+
+class TestRtiPhases:
+    def test_prepare_feedback_split(self):
+        """Reference RTI pattern: options_set('rti_phase', 1) -> solve()
+        (preparation), inject x0, rti_phase 2 -> solve() (feedback).
+        Closed loop must match the fused rti_phase=0 path."""
+        ocp = make_ocp(nlp_solver_type="SQP_RTI")
+        split = AcadosOcpSolver(ocp)
+        fused = AcadosOcpSolver(ocp)
+
+        sim = AcadosSim()
+        sim.model = export_pendulum_model()
+        sim.solver_options.T = 1.0 / 20
+        sim.solver_options.num_steps = 4
+        plant_a = AcadosSimSolver(sim)
+        plant_b = AcadosSimSolver(sim)
+
+        xa = xb = np.array([0.0, 0.3, 0.0, 0.0])
+        for step in range(40):
+            # split-phase solver (x0 set before preparation so the split
+            # and fused paths see identical problems)
+            split.set(0, "lbx", xa)
+            split.set(0, "ubx", xa)
+            split.options_set("rti_phase", 1)
+            assert split.solve() == 0
+            split.options_set("rti_phase", 2)
+            assert split.solve() == 0
+            assert split.get_stats("time_preparation") > 0
+            assert split.get_stats("time_feedback") > 0
+            ua = split.get(0, "u")
+            # fused solver
+            ub = fused.solve_for_x0(xb, fail_on_nonzero_status=False)
+            xa = plant_a.simulate(x=xa, u=ua)
+            xb = plant_b.simulate(x=xb, u=ub)
+        assert np.abs(xa[1]) < 1e-2, xa
+        np.testing.assert_allclose(xa, xb, atol=1e-6)
