@@ -142,6 +142,59 @@ class AcadosOcpBatchSolver:
         self._iterate[field] = np.asarray(value, np.float64).reshape(
             tgt.shape)
 
+    def eval_adjoint_solution_sensitivity(self, seed_x, seed_u,
+                                          with_respect_to="params_global",
+                                          sanity_checks=True):
+        """Batched adjoint solution sensitivities (the RL policy-gradient
+        path). Reference: acados_ocp_batch_solver.py:227 ->
+        ocp_nlp_eval_solution_sens_adj_p; here one vmapped Riccati-factored
+        IFT solve over the batch.
+
+        seed_x/seed_u: arrays (B, N+1, nx) / (B, N, nu), or lists of
+        (stage, (B, dim) array) pairs, or None. Returns (B, np) for
+        'params_global' / 'p_global'."""
+        del sanity_checks
+        from acados_tpu.ocp_nlp.sensitivity import (KktFactor, SensOpts,
+                                                    adjoint_sensitivity)
+        B, N, nx, nu = self.N_batch, self.N, self.form.nx, self.form.nu
+        sx = np.zeros((B, N + 1, nx))
+        su = np.zeros((B, N, nu))
+
+        def fill(tgt, seeds):
+            if seeds is None:
+                return
+            if isinstance(seeds, (list, tuple)):
+                for stage, vec in seeds:
+                    v = np.asarray(vec)
+                    if v.ndim == 3:  # (B, dim, n_seeds): sum seed columns
+                        v = v.sum(axis=-1)
+                    tgt[:, stage] += v.reshape(tgt[:, stage].shape)
+            else:
+                tgt[:] = np.asarray(seeds).reshape(tgt.shape)
+
+        fill(sx, seed_x)
+        fill(su, seed_u)
+
+        form = self.form
+
+        def one(data, it, seed_x1, seed_u1):
+            kf = KktFactor(form, SensOpts(), data, it)
+            return adjoint_sensitivity(kf, seed_x1, seed_u1)
+
+        data = data_to_jax(self._data, self.dtype)
+        init = NlpIterate(**{k: jnp.asarray(v, self.dtype)
+                             for k, v in self._iterate.items()})
+        grad = jax.jit(jax.vmap(one))(data, init,
+                                      jnp.asarray(sx, self.dtype),
+                                      jnp.asarray(su, self.dtype))
+        if with_respect_to in ("params_global", "p_global", "p"):
+            return np.asarray(grad.p).sum(axis=1)
+        if with_respect_to == "p_stagewise":
+            return np.asarray(grad.p)
+        if with_respect_to == "all":
+            return grad
+        raise ValueError(with_respect_to)
+
     def get_stats(self, field):
         if field == "time_tot":
             return self._time_tot

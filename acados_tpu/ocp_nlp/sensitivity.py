@@ -305,3 +305,43 @@ def adjoint_sensitivity(kf: KktFactor, seed_x, seed_u):
     (g2,) = vjp2((z_ineq_l, z_ineq_u))
     grad = jax.tree.map(lambda a, b: -(a + b), g1, g2)
     return grad
+
+
+# ---------------------------------------------------------------------------
+# Differentiable solver (jax.grad through the solve)
+# ---------------------------------------------------------------------------
+
+def make_diff_solver(form: OcpNlpFormulation, opts, sens_opts=None):
+    """Build solve_diff(data, init) -> (x, u) with a custom VJP.
+
+    The TPU-native generalization of the reference's differentiable-MPC
+    surface (eval_adjoint_solution_sensitivity,
+    acados_ocp_batch_solver.py:227): the solver becomes a jax-transformable
+    layer — `jax.grad`/`jax.vmap`/`jax.jit` compose with it, with the
+    backward pass one Riccati-factored adjoint IFT solve instead of
+    differentiating through SQP iterations.
+    """
+    from acados_tpu.ocp_nlp.sqp import make_sqp_solver
+
+    sens_opts = sens_opts or SensOpts()
+    solve = make_sqp_solver(form, opts)
+
+    @jax.custom_vjp
+    def solve_diff(data: NlpData, init: NlpIterate):
+        it, _ = solve(data, init)
+        return it.x, it.u
+
+    def fwd(data, init):
+        it, _ = solve(data, init)
+        return (it.x, it.u), (data, it, init)
+
+    def bwd(res, ct):
+        data, it, init = res
+        ct_x, ct_u = ct
+        kf = KktFactor(form, sens_opts, data, it)
+        grad = adjoint_sensitivity(kf, ct_x, ct_u)
+        # solution is independent of the warm start at convergence
+        return grad, jax.tree.map(jnp.zeros_like, init)
+
+    solve_diff.defvjp(fwd, bwd)
+    return solve_diff

@@ -198,3 +198,73 @@ def test_adjoint_param_grad_vs_fd():
             J[(sgn, i)] = 0.5 * float(uu[0] @ uu[0])
     fd = np.array([(J[(+1, i)] - J[(-1, i)]) / (2 * eps) for i in range(2)])
     np.testing.assert_allclose(grad, fd, rtol=5e-4, atol=1e-6)
+
+
+def test_diff_solver_jax_grad():
+    """jax.grad through make_diff_solver matches
+    eval_adjoint_solution_sensitivity (solver as differentiable layer)."""
+    import jax
+    from acados_tpu.interface.builder import build_ocp, data_to_jax
+    from acados_tpu.interface.solver import _sqp_opts_from
+    from acados_tpu.ocp_nlp.sensitivity import make_diff_solver
+    from acados_tpu.ocp_nlp.sqp import init_iterate
+
+    ocp = make_param_ocp()
+    solver = AcadosOcpSolver(ocp)
+    p0 = np.array([0.1, 0.8])
+    x, u = _resolve_xu(solver, p0)
+    grad_ref = solver.eval_adjoint_solution_sensitivity(
+        None, [(0, u[0])], with_respect_to="params_global")
+
+    form, data_np, _ = build_ocp(ocp)
+    solve_diff = make_diff_solver(form, _sqp_opts_from(ocp))
+    data = data_to_jax(data_np, jnp.float64)
+    init = init_iterate(form, jnp.float64,
+                        x_traj=np.tile(np.array([0.0, np.pi / 2, 0, 0]),
+                                       (form.N + 1, 1)))
+
+    def loss(p_all):
+        xs, us = solve_diff(data.replace(p=p_all), init)
+        return 0.5 * us[0] @ us[0]
+
+    g = jax.grad(loss)(data.p)
+    np.testing.assert_allclose(np.asarray(g).sum(axis=0), grad_ref,
+                               rtol=1e-6, atol=1e-10)
+
+
+def test_batch_adjoint_matches_serial():
+    """Batched adjoint sensitivities == per-instance serial ones
+    (reference parity pattern, test_batch_solvers.py)."""
+    from acados_tpu import AcadosOcpBatchSolver
+
+    ocp = make_param_ocp(N=10)
+    ocp.solver_options.tol = 1e-9
+    B = 3
+    batch = AcadosOcpBatchSolver(ocp, N_batch=B)
+    serial = AcadosOcpSolver(ocp)
+    x0s = [np.array([0.0, np.pi / 2, 0.0, 0.0]),
+           np.array([0.1, 1.2, 0.0, 0.0]),
+           np.array([0.0, 1.8, 0.1, 0.0])]
+    for i, x0 in enumerate(x0s):
+        v = batch.ocp_solvers[i]
+        v.set(0, "lbx", x0)
+        v.set(0, "ubx", x0)
+        for k in range(11):
+            v.set(k, "x", x0)
+    assert np.all(batch.solve() == 0)
+
+    seed_u = np.ones((B, 10, 1))
+    grad_b = batch.eval_adjoint_solution_sensitivity(
+        None, seed_u, with_respect_to="params_global")
+    assert grad_b.shape == (B, 2)
+
+    for i, x0 in enumerate(x0s):
+        serial.reset()
+        serial.set(0, "lbx", x0)
+        serial.set(0, "ubx", x0)
+        for k in range(11):
+            serial.set(k, "x", x0)
+        assert serial.solve() == 0
+        g = serial.eval_adjoint_solution_sensitivity(
+            None, np.ones((10, 1)), with_respect_to="params_global")
+        np.testing.assert_allclose(grad_b[i], g, rtol=1e-8, atol=1e-12)
