@@ -98,12 +98,14 @@ def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
     ru = (qp.r + jnp.einsum("kij,ki->kj", qp.B, it.pi)
           - jnp.einsum("kij,ki->kj", qp.D, lam_d[:-1]))
 
-    # slack stationarity: zl + Zl sl - lam_l (>= 0 when sl == 0)
+    # slack stationarity: zl + Zl sl - lam_l - lam_sl = 0 with the implicit
+    # slack multiplier lam_sl = max(zl + Zl sl - lam_l, 0) >= 0 eliminated;
+    # its negative part is the stationarity violation, the product with sl
+    # is complementarity (counted in res_comp below)
     r_sl = sml * (zl + Zl * it.sl - it.lam_l)
     r_su = smu * (zu + Zu * it.su - it.lam_u)
-    slack_active = it.sl > 1e-8
-    r_sl = jnp.where(slack_active, jnp.abs(r_sl), jnp.maximum(-r_sl, 0.0))
-    r_su = jnp.where(it.su > 1e-8, jnp.abs(r_su), jnp.maximum(-r_su, 0.0))
+    r_sl = jnp.maximum(-r_sl, 0.0)
+    r_su = jnp.maximum(-r_su, 0.0)
 
     res_stat = jnp.maximum(jnp.max(jnp.abs(rx)), jnp.max(jnp.abs(ru)))
     res_stat = jnp.maximum(res_stat,
@@ -121,6 +123,9 @@ def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
     res_comp = jnp.maximum(
         res_comp, jnp.max(sml * jnp.abs(it.sl * jnp.maximum(
             zl + Zl * it.sl - it.lam_l, 0.0))))
+    res_comp = jnp.maximum(
+        res_comp, jnp.max(smu * jnp.abs(it.su * jnp.maximum(
+            zu + Zu * it.su - it.lam_u, 0.0))))
     return res_stat, res_eq, res_ineq, res_comp
 
 

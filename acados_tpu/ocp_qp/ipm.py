@@ -135,6 +135,17 @@ def _residuals(qp: OcpQp, it: _Iterate):
     return (rx, ru, r_dyn, r_l, r_u, r_sl, r_su), mu
 
 
+def _comp_inf(qp: OcpQp, it: _Iterate):
+    """Inf-norm of the complementarity products (HPIPM's res_m measure —
+    the convergence check; the averaged mu is only used for centering)."""
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
+    return jnp.max(jnp.stack([
+        jnp.max(ml * it.lam_l * it.t_l), jnp.max(mu_ * it.lam_u * it.t_u),
+        jnp.max(sml * it.lam_sl * it.sl),
+        jnp.max(smu * it.lam_su * it.su)]))
+
+
 def _res_norms(res):
     rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
     inf = lambda a: (jnp.max(jnp.abs(a)) if a.size else jnp.zeros((), a.dtype))
@@ -335,7 +346,7 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
 
         res_new, mu_new = _residuals(qp, it_new)
         rs, re, ri = _res_norms(res_new)
-        err = err_of(rs, re, ri, mu_new)
+        err = err_of(rs, re, ri, _comp_inf(qp, it_new))
         improved = err < best_err
         best_it = jax.tree.map(lambda n, o: jnp.where(improved, n, o),
                                it_new, best_it)
@@ -346,8 +357,8 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         return (it_new, best_it, best_err, k + 1, status, done)
 
     init_status = jnp.asarray(2, jnp.int32)  # max_iter unless proven otherwise
-    res0, mu0_ = _residuals(qp, it0)
-    err0 = err_of(*_res_norms(res0), mu0_)
+    res0, _ = _residuals(qp, it0)
+    err0 = err_of(*_res_norms(res0), _comp_inf(qp, it0))
     carry0 = (it0, it0, err0, jnp.asarray(0, jnp.int32), init_status,
               jnp.asarray(False))
     if unroll:
