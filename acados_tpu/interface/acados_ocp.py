@@ -193,6 +193,8 @@ class AcadosOcpOptions:
     qp_solver_mu0: float = 1e2
     qp_tol: Optional[float] = None
     levenberg_marquardt: float = 0.0
+    regularize_method: str = "NO_REGULARIZE"
+    reg_epsilon: float = 1e-4
     globalization_alpha_min: float = 0.05
     globalization_alpha_reduction: float = 0.7
     sim_method_num_stages: int = 4

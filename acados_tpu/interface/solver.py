@@ -52,6 +52,8 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp,
         tol_min_step_norm=so.tol_min_step_norm,
         levenberg_marquardt=so.levenberg_marquardt,
+        regularize_method=so.regularize_method,
+        reg_epsilon=so.reg_epsilon,
         globalization=(so.globalization
                        if so.nlp_solver_type != "SQP_RTI" else "FIXED_STEP"),
         alpha_min=so.globalization_alpha_min,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from acados_tpu.ocp_nlp.formulation import NlpData, OcpNlpFormulation
 from acados_tpu.ocp_nlp.linearize import (NlpIterate, build_static_rows,
                                           eval_cost, linearize)
+from acados_tpu.ocp_nlp.regularize import regularize_qp
 from acados_tpu.ocp_nlp.sqp import SqpOpts, SqpStats, _nlp_residuals
 from acados_tpu.ocp_qp.data import OcpQp
 from acados_tpu.ocp_qp.ipm import solve_ocp_qp
@@ -57,6 +58,7 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
             static_rows = build_static_rows(form, dtype)
             lm = jnp.asarray(opts.levenberg_marquardt, dtype)
             qp = linearize(form, static_rows, data, it, lm)
+            qp = regularize_qp(qp, opts.regularize_method, opts.reg_epsilon)
             # recover absolute stage-0 row values g0 from the delta form:
             # lg = lb - g  ->  g = lb - lg on enabled rows (fall back to
             # ub - ug for upper-only rows)

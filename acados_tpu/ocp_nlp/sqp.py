@@ -28,6 +28,7 @@ from acados_tpu.ocp_nlp.formulation import NlpData, OcpNlpFormulation
 from acados_tpu.ocp_nlp.linearize import (NlpIterate, build_static_rows,
                                           eval_constraints, eval_cost,
                                           eval_dyn_gap, linearize)
+from acados_tpu.ocp_nlp.regularize import regularize_qp
 from acados_tpu.ocp_qp.data import OcpQp
 from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
 from acados_tpu.utils.struct import pytree_dataclass, static_field
@@ -50,6 +51,8 @@ class SqpOpts:
     tol_comp: float = 1e-6
     tol_min_step_norm: float = 1e-12
     levenberg_marquardt: float = 0.0
+    regularize_method: str = static_field(default="NO_REGULARIZE")
+    reg_epsilon: float = 1e-4  # reference default (acados_ocp_options.py)
     globalization: str = static_field(default="FIXED_STEP")
     alpha_min: float = 0.05
     alpha_reduction: float = 0.7
@@ -188,7 +191,12 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             converged = ((rs < opts.tol_stat) & (re < opts.tol_eq)
                          & (ri < opts.tol_ineq) & (rc < opts.tol_comp))
 
-            sol, info = solve_ocp_qp(qp, opts.qp_opts)
+            # Hessian regularization before the QP (reference hook:
+            # regularize->regularize, ocp_nlp_sqp.c:602); the NLP residuals
+            # above use only gradients, so they see the true problem.
+            qp_solve = regularize_qp(qp, opts.regularize_method,
+                                     opts.reg_epsilon)
+            sol, info = solve_ocp_qp(qp_solve, opts.qp_opts)
             qp_ok = info.status <= 0
             # QP hit its iteration limit but may still be usable; only a
             # NaN QP is fatal (reference: QP failure propagation,

@@ -32,6 +32,12 @@ def make_erk_step(f, num_stages: int = 4, num_steps: int = 1):
 
     def step(x, u, p, t0, dt):
         h = dt / num_steps
+        # cast tableau constants to the state dtype: under jax_enable_x64 a
+        # raw numpy-f64 coefficient would silently promote an f32 state to
+        # f64 (caught by the f32 production-path test tier)
+        Ax = A.astype(x.dtype)
+        bx = b.astype(x.dtype)
+        cx = c.astype(x.dtype)
 
         def substep(x, i):
             t = t0 + i * h
@@ -40,11 +46,11 @@ def make_erk_step(f, num_stages: int = 4, num_steps: int = 1):
                 xi = x
                 for sj in range(si):
                     if A[si, sj] != 0.0:
-                        xi = xi + (h * A[si, sj]) * ks[sj]
-                ks.append(f(xi, u, p, t + c[si] * h))
+                        xi = xi + (h * Ax[si, sj]) * ks[sj]
+                ks.append(f(xi, u, p, t + cx[si] * h))
             x_next = x
             for sj in range(num_stages):
-                x_next = x_next + (h * b[sj]) * ks[sj]
+                x_next = x_next + (h * bx[sj]) * ks[sj]
             return x_next, None
 
         x_out, _ = jax.lax.scan(substep, x, jnp.arange(num_steps))

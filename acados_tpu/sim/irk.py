@@ -67,6 +67,7 @@ def make_irk_step(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
         A_ = jnp.asarray(A, x.dtype)
         b_ = jnp.asarray(b, x.dtype)
         zw_ = jnp.asarray(zw, x.dtype)
+        c_ = c.astype(x.dtype)  # avoid f64 promotion of t under x64
 
         def residual_fn(x0, t):
             def res(w):
@@ -75,7 +76,7 @@ def make_irk_step(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
                 xi = x0[None, :] + h * (A_ @ K)  # (ns, nx)
                 r = []
                 for i in range(ns):
-                    r.append(f_impl(K[i], xi[i], Z[i], u, p, t + c[i] * h))
+                    r.append(f_impl(K[i], xi[i], Z[i], u, p, t + c_[i] * h))
                 return jnp.concatenate(r)
             return res
 

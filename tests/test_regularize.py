@@ -1,0 +1,127 @@
+"""Regularization module tests.
+
+Reference behavior being matched: the regularize hook runs between
+linearization and the QP solve (ocp_nlp_sqp.c:602) and makes indefinite
+exact/EXTERNAL-cost Hessians usable — MIRROR (reg_mirror.c:369), PROJECT
+(reg_project.c:367), GLM (reg_glm.c:321).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.ocp_nlp.regularize import regularize_qp
+from test_ocp_qp import random_ocp_qp
+
+
+def _stage_blocks(qp):
+    H = np.concatenate([
+        np.concatenate([np.asarray(qp.Q[:-1]),
+                        np.swapaxes(np.asarray(qp.S), -1, -2)], axis=-1),
+        np.concatenate([np.asarray(qp.S), np.asarray(qp.R)], axis=-1),
+    ], axis=-2)
+    return H, np.asarray(qp.Q[-1])
+
+
+def _make_indefinite_qp():
+    qp = random_ocp_qp(jax.random.PRNGKey(0), N=6, nx=3, nu=2, nc=2)
+    # flip the sign of the R block at every stage -> indefinite coupled block
+    return qp.replace(R=-qp.R, Q=qp.Q.at[-1].set(-qp.Q[-1]))
+
+
+class TestMatrixLevel:
+    @pytest.mark.parametrize("method", ["MIRROR", "PROJECT", "GLM"])
+    def test_output_positive_definite(self, method):
+        qp = _make_indefinite_qp()
+        out = regularize_qp(qp, method, 1e-4)
+        H, Qe = _stage_blocks(out)
+        for k in range(H.shape[0]):
+            assert np.min(np.linalg.eigvalsh(H[k])) >= 1e-4 - 1e-10, (
+                method, k)
+        assert np.min(np.linalg.eigvalsh(Qe)) >= 1e-4 - 1e-10
+
+    def test_project_keeps_psd_matrix(self):
+        """PROJECT must not perturb an already-sufficiently-PD Hessian."""
+        qp = random_ocp_qp(jax.random.PRNGKey(1), N=5, nx=3, nu=2, nc=2)
+        out = regularize_qp(qp, "PROJECT", 1e-6)
+        np.testing.assert_allclose(np.asarray(out.Q), np.asarray(qp.Q),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(out.R), np.asarray(qp.R),
+                                   atol=1e-10)
+
+    def test_mirror_flips_eigenvalues(self):
+        qp = _make_indefinite_qp()
+        H0, _ = _stage_blocks(qp)
+        out = regularize_qp(qp, "MIRROR", 1e-8)
+        H1, _ = _stage_blocks(out)
+        w0 = np.linalg.eigvalsh(H0[0])
+        w1 = np.sort(np.linalg.eigvalsh(H1[0]))
+        np.testing.assert_allclose(w1, np.sort(np.abs(w0)), atol=1e-8)
+
+    def test_unknown_method_raises(self):
+        qp = _make_indefinite_qp()
+        with pytest.raises(ValueError, match="CONVEXIFY"):
+            regularize_qp(qp, "CONVEXIFY", 1e-4)
+
+
+def _make_nonconvex_ocp(regularize_method):
+    """EXTERNAL-cost OCP with an exact Hessian that is indefinite away from
+    the optimum: cost has a -cos coupling term (reference pattern:
+    exact-Hessian EXTERNAL cost problems, ocp_nlp_cost_external.c)."""
+    from acados_tpu import AcadosOcp
+
+    ocp = AcadosOcp()
+    m = ocp.model
+    m.name = "nonconvex"
+    m.x = 2
+    m.u = 1
+    # double integrator
+    m.f_expl_expr = lambda x, u: jnp.array([x[1], u[0]])
+
+    ocp.cost.cost_type = "EXTERNAL"
+    ocp.cost.cost_type_e = "EXTERNAL"
+    # nonconvex: cos(3 x0) has Hessian -9 cos(3 x0) — strongly indefinite
+    m.cost_expr_ext_cost = lambda x, u: (
+        x[0] ** 2 + 0.1 * x[1] ** 2 + 1e-2 * u[0] ** 2
+        + 2.0 * jnp.cos(3.0 * x[0]))
+    m.cost_expr_ext_cost_e = lambda x: x[0] ** 2 + 0.1 * x[1] ** 2
+
+    ocp.constraints.x0 = np.array([1.5, 0.0])
+    ocp.constraints.idxbu = np.array([0])
+    ocp.constraints.lbu = np.array([-10.0])
+    ocp.constraints.ubu = np.array([10.0])
+
+    so = ocp.solver_options
+    so.N_horizon = 20
+    so.tf = 2.0
+    so.hessian_approx = "EXACT"
+    so.nlp_solver_type = "SQP"
+    so.nlp_solver_max_iter = 100
+    so.globalization = "MERIT_BACKTRACKING"
+    so.regularize_method = regularize_method
+    so.dtype = "float64"
+    return ocp
+
+
+class TestNlpLevel:
+    @pytest.mark.parametrize("method", ["MIRROR", "PROJECT", "GLM"])
+    def test_indefinite_external_cost_converges(self, method):
+        from acados_tpu import AcadosOcpSolver
+
+        ocp = _make_nonconvex_ocp(method)
+        solver = AcadosOcpSolver(ocp)
+        status = solver.solve()
+        assert status == 0, (method, solver.get_residuals())
+        res = solver.get_residuals()
+        assert res[0] < 1e-6, (method, res)
+
+    def test_no_regularization_fails(self):
+        """The same problem NaNs (or stalls) without regularization —
+        the indefinite Hessian reaches the Riccati Cholesky."""
+        from acados_tpu import AcadosOcpSolver
+
+        ocp = _make_nonconvex_ocp("NO_REGULARIZE")
+        solver = AcadosOcpSolver(ocp)
+        status = solver.solve()
+        assert status != 0
