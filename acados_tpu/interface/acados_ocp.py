@@ -66,6 +66,15 @@ class AcadosModel:
     con_h_expr_0: Optional[Callable] = None
     con_h_expr: Optional[Callable] = None
     con_h_expr_e: Optional[Callable] = None
+    # BGP convex-over-nonlinear constraints (reference acados_model.py
+    # con_phi_expr/con_r_expr + con_r_in_phi): phi is a jax callable in
+    # the inner residual r, r a callable in (x, u[, p[, t]])
+    con_phi_expr_0: Optional[Callable] = None   # (r,) -> (nphi,)
+    con_r_expr_0: Optional[Callable] = None     # (x, u[, p[, t]]) -> (nr,)
+    con_phi_expr: Optional[Callable] = None
+    con_r_expr: Optional[Callable] = None
+    con_phi_expr_e: Optional[Callable] = None
+    con_r_expr_e: Optional[Callable] = None
     x_labels: list = None
     u_labels: list = None
     t_label: str = "t"
@@ -148,6 +157,13 @@ class AcadosOcpConstraints:
     C_e: Optional[np.ndarray] = None
     lg_e: Optional[np.ndarray] = None
     ug_e: Optional[np.ndarray] = None
+    # BGP convex-over-nonlinear bounds (reference lphi/uphi fields)
+    lphi_0: Optional[np.ndarray] = None
+    uphi_0: Optional[np.ndarray] = None
+    lphi: Optional[np.ndarray] = None
+    uphi: Optional[np.ndarray] = None
+    lphi_e: Optional[np.ndarray] = None
+    uphi_e: Optional[np.ndarray] = None
     # soft constraint index sets (reference idxs* map into slack vectors)
     idxsbx: Optional[np.ndarray] = None
     idxsbu: Optional[np.ndarray] = None
@@ -156,6 +172,9 @@ class AcadosOcpConstraints:
     idxsh_0: Optional[np.ndarray] = None
     idxsbx_e: Optional[np.ndarray] = None
     idxsh_e: Optional[np.ndarray] = None
+    idxsphi: Optional[np.ndarray] = None
+    idxsphi_0: Optional[np.ndarray] = None
+    idxsphi_e: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -201,6 +220,34 @@ class AcadosOcpOptions:
     sim_method_num_steps: int = 1
     sim_method_newton_iter: int = 3
     collocation_type: str = "GAUSS_LEGENDRE"
+    # condensing horizon (reference qp_solver_cond_N,
+    # acados_ocp_options.py; None = no partial condensing). The nearest
+    # divisor of N is used (static XLA shapes need uniform blocks).
+    qp_solver_cond_N: Optional[int] = None
+    # AS-RTI (reference as_rti_level/as_rti_iter, acados_ocp_options.py:
+    # 134-135; level int 0..4 = A,B,C,D,STANDARD — strings also accepted)
+    as_rti_level: object = 4
+    as_rti_iter: int = 1
+    as_rti_advancement_strategy: str = "SIMULATE"  # SHIFT | NONE
+    # fixed-step length (reference nlp_solver_step_length)
+    nlp_solver_step_length: float = 1.0
+    globalization_full_step_dual: bool = False
+    # Anderson acceleration (reference ocp_nlp_common.c:1277-1278)
+    with_anderson_acceleration: bool = False
+    anderson_activation_threshold: float = 1e1
+    # keep all intermediate iterates (reference store_iterates)
+    store_iterates: bool = False
+    # QP scaling (reference ocp_nlp_qpscaling.c; NO_SCALING |
+    # OBJECTIVE_GERSHGORIN)
+    qpscaling_scale_objective: str = "NO_SCALING"
+    # wall-clock budget checked after the compiled solve returns
+    # (reference checks per-iteration, ocp_nlp_sqp.c:436; inside one XLA
+    # program a mid-solve check is not possible, so exceeding the budget
+    # flags ACADOS_TIMEOUT post-hoc). 0 = no timeout.
+    timeout_max_time: float = 0.0
+    # accepted for compatibility (warm starts are explicit in this
+    # framework: RTI caches / solve_ocp_qp(warm=...))
+    qp_solver_warm_start: int = 0
     # TPU-specific
     dtype: str = "float32"
 

@@ -51,10 +51,12 @@ class StageLayout:
     def __init__(self, spec: ConstraintSpec):
         self.nbx, self.nbu = spec.nbx, spec.nbu
         self.ng, self.nh = spec.ng, spec.nh
+        self.nphi = spec.nphi
         self.off_bx = 0
         self.off_bu = self.nbx
         self.off_g = self.nbx + self.nbu
         self.off_h = self.off_g + self.ng
+        self.off_phi = self.off_h + self.nh
         self.nrows = spec.nrows
 
 
@@ -160,47 +162,72 @@ def _build_con_specs(ocp: AcadosOcp, nx, nu):
     nhe = _dim_of(con.lh_e if con.lh_e is not None else con.uh_e) \
         if he is not None else 0
 
+    # BGP phi(r) rows (reference con_phi_expr/con_r_expr + lphi/uphi)
+    def bgp(phi_expr, r_expr, lphi, uphi, term=False):
+        if phi_expr is None or r_expr is None:
+            return 0, None, None
+        nphi = _dim_of(lphi if lphi is not None else uphi)
+        r_n = _norm_term(r_expr) if term else _norm4(r_expr)
+        return nphi, phi_expr, r_n
+
+    nphi0, phi0, r0 = bgp(m.con_phi_expr_0 or m.con_phi_expr,
+                          m.con_r_expr_0 or m.con_r_expr,
+                          con.lphi_0 if con.lphi_0 is not None
+                          else con.lphi,
+                          con.uphi_0 if con.uphi_0 is not None
+                          else con.uphi)
+    nphip, phip, rp = bgp(m.con_phi_expr, m.con_r_expr, con.lphi,
+                          con.uphi)
+    nphie, phie, re_ = bgp(m.con_phi_expr_e, m.con_r_expr_e, con.lphi_e,
+                           con.uphi_e, term=True)
+
     Cg = None if con.C is None else np.atleast_2d(con.C)
     Dg = None if con.D is None else np.atleast_2d(con.D)
     Ce = None if con.C_e is None else np.atleast_2d(con.C_e)
 
-    def soft_rows(layout_nbx, layout_nbu, layout_ng, idxsbx, idxsbu, idxsg,
-                  idxsh):
+    def soft_rows(layout_nbx, layout_nbu, layout_ng, layout_nh, idxsbx,
+                  idxsbu, idxsg, idxsh, idxsphi=None):
         rows = [i for i in _idx(idxsbx)]
         rows += [layout_nbx + i for i in _idx(idxsbu)]
         rows += [layout_nbx + layout_nbu + i for i in _idx(idxsg)]
         rows += [layout_nbx + layout_nbu + layout_ng + i
                  for i in _idx(idxsh)]
+        rows += [layout_nbx + layout_nbu + layout_ng + layout_nh + i
+                 for i in _idx(idxsphi)]
         return tuple(rows)
 
     idxbu = _idx(con.idxbu)
     idxbx = _idx(con.idxbx)
     con_0 = ConstraintSpec(
         nx=nx, nu=nu, idxbx=idxbx_0, idxbu=idxbu, Cg=Cg, Dg=Dg,
-        nh=nh0, h_fun=h0,
+        nh=nh0, h_fun=h0, nphi=nphi0, phi_fun=phi0, r_fun=r0,
         soft_rows=soft_rows(len(idxbx_0), len(idxbu),
-                            0 if Cg is None else Cg.shape[0],
+                            0 if Cg is None else Cg.shape[0], nh0,
                             None, con.idxsbu, con.idxsg,
                             con.idxsh_0 if con.idxsh_0 is not None
-                            else con.idxsh))
+                            else con.idxsh,
+                            con.idxsphi_0 if con.idxsphi_0 is not None
+                            else con.idxsphi))
     con_p = ConstraintSpec(
         nx=nx, nu=nu, idxbx=idxbx, idxbu=idxbu, Cg=Cg, Dg=Dg,
-        nh=nhp, h_fun=hp,
+        nh=nhp, h_fun=hp, nphi=nphip, phi_fun=phip, r_fun=rp,
         soft_rows=soft_rows(len(idxbx), len(idxbu),
-                            0 if Cg is None else Cg.shape[0],
-                            con.idxsbx, con.idxsbu, con.idxsg, con.idxsh))
+                            0 if Cg is None else Cg.shape[0], nhp,
+                            con.idxsbx, con.idxsbu, con.idxsg, con.idxsh,
+                            con.idxsphi))
     idxbx_e = _idx(con.idxbx_e)
     con_e = ConstraintSpec(
         nx=nx, nu=nu, idxbx=idxbx_e, idxbu=(), Cg=Ce, Dg=None,
-        nh=nhe, h_fun=he,
+        nh=nhe, h_fun=he, nphi=nphie, phi_fun=phie, r_fun=re_,
         soft_rows=soft_rows(len(idxbx_e), 0,
-                            0 if Ce is None else Ce.shape[0],
-                            con.idxsbx_e, None, None, con.idxsh_e))
+                            0 if Ce is None else Ce.shape[0], nhe,
+                            con.idxsbx_e, None, None, con.idxsh_e,
+                            con.idxsphi_e))
     return con_0, con_p, con_e
 
 
 def _class_bounds(layout: StageLayout, nc, lbx, ubx, lbu, ubu, lg, ug,
-                  lh, uh):
+                  lh, uh, lphi=None, uphi=None):
     """Fold per-kind bound vectors into unified (nc,) lower/upper rows."""
     lb = np.full(nc, -ACADOS_INFTY)
     ub = np.full(nc, ACADOS_INFTY)
@@ -217,6 +244,7 @@ def _class_bounds(layout: StageLayout, nc, lbx, ubx, lbu, ubu, lg, ug,
     put(layout.off_bu, layout.nbu, lbu, ubu)
     put(layout.off_g, layout.ng, lg, ug)
     put(layout.off_h, layout.nh, lh, uh)
+    put(layout.off_phi, layout.nphi, lphi, uphi)
     # disable padded rows entirely
     lb[layout.nrows:] = -ACADOS_INFTY
     ub[layout.nrows:] = ACADOS_INFTY
@@ -293,11 +321,17 @@ def build_ocp(ocp: AcadosOcp):
     lb_0, ub_0 = _class_bounds(lay_0, nc, lbx_0, ubx_0, con.lbu, con.ubu,
                                con.lg, con.ug, con.lh_0 if con.lh_0 is not
                                None else con.lh,
-                               con.uh_0 if con.uh_0 is not None else con.uh)
+                               con.uh_0 if con.uh_0 is not None else con.uh,
+                               con.lphi_0 if con.lphi_0 is not None
+                               else con.lphi,
+                               con.uphi_0 if con.uphi_0 is not None
+                               else con.uphi)
     lb_p, ub_p = _class_bounds(lay_p, nc, con.lbx, con.ubx, con.lbu,
-                               con.ubu, con.lg, con.ug, con.lh, con.uh)
+                               con.ubu, con.lg, con.ug, con.lh, con.uh,
+                               con.lphi, con.uphi)
     lb_e, ub_e = _class_bounds(lay_e, nc, con.lbx_e, con.ubx_e, None, None,
-                               con.lg_e, con.ug_e, con.lh_e, con.uh_e)
+                               con.lg_e, con.ug_e, con.lh_e, con.uh_e,
+                               con.lphi_e, con.uphi_e)
 
     # ---- slack penalties ---------------------------------------------------
     Zl_0, Zu_0, zl_0, zu_0 = _class_slack_penalties(

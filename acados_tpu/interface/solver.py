@@ -58,7 +58,43 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
                        if so.nlp_solver_type != "SQP_RTI" else "FIXED_STEP"),
         alpha_min=so.globalization_alpha_min,
         alpha_reduction=so.globalization_alpha_reduction,
+        cond_N=_resolve_cond(ocp), full_cond=_is_full_cond(so),
+        as_rti_level=_as_rti_level_str(so.as_rti_level),
+        as_rti_iter=so.as_rti_iter,
+        as_rti_advancement=so.as_rti_advancement_strategy,
+        step_length=so.nlp_solver_step_length,
+        full_step_dual=so.globalization_full_step_dual,
+        with_anderson_acceleration=so.with_anderson_acceleration,
+        anderson_activation_threshold=so.anderson_activation_threshold,
+        store_iterates=so.store_iterates,
+        qpscaling=so.qpscaling_scale_objective,
         qp_opts=qp_opts)
+
+
+def _is_full_cond(so) -> bool:
+    return str(so.qp_solver).startswith("FULL_CONDENSING")
+
+
+def _resolve_cond(ocp) -> int | None:
+    """Map qp_solver_cond_N to the nearest divisor of N (xcond front-end;
+    reference qp_solver_cond_N, ocp_qp_partial_condensing.c:250-253)."""
+    so = ocp.solver_options
+    if so.qp_solver_cond_N is None or _is_full_cond(so):
+        return None
+    from acados_tpu.ocp_qp.xcond import resolve_cond_N
+    if hasattr(ocp, "N_list"):  # multiphase
+        N = sum(ocp.N_list)
+    else:
+        N = so.N_horizon or ocp.dims.N
+    return resolve_cond_N(N, so.qp_solver_cond_N)
+
+
+def _as_rti_level_str(level) -> str:
+    """Accept the reference's int encoding (0..4 = A,B,C,D,STANDARD,
+    ocp_nlp_sqp_rti.h:70-77) or a string."""
+    if isinstance(level, str):
+        return level
+    return {0: "A", 1: "B", 2: "C", 3: "D", 4: "STANDARD"}[int(level)]
 
 
 class AcadosOcpSolver:
@@ -68,20 +104,31 @@ class AcadosOcpSolver:
                  generate=None, verbose=False):
         del json_file, build, generate, verbose  # codegen-era args accepted
         self.acados_ocp = ocp
-        self.form, self._data, self.layouts = build_ocp(ocp)
+        from acados_tpu.interface.multiphase import (AcadosMultiphaseOcp,
+                                                     build_mocp)
+        self._is_mocp = isinstance(ocp, AcadosMultiphaseOcp)
+        if self._is_mocp:
+            # reference: AcadosOcpSolver accepts AcadosMultiphaseOcp
+            # directly (acados_ocp_solver.py handles both problem classes)
+            self.form, self._data, self.layouts = build_mocp(ocp)
+        else:
+            self.form, self._data, self.layouts = build_ocp(ocp)
         self.opts = _sqp_opts_from(ocp)
         self.dtype = (jnp.float64 if ocp.solver_options.dtype == "float64"
                       else jnp.float32)
         if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
             raise RuntimeError("dtype float64 requires jax_enable_x64")
-        self._solve_fn = make_sqp_solver(self.form, self.opts)
+        self._solve_fn = self._make_solve_fn()
         self._rti_fns = None  # built lazily on first rti_phase use
         self._rti_phase = 0
         self._rti_cache = None
+        self._rti_prev_cache = None
         self.N = self.form.N
         self._iterate = self._zero_iterate()
         self._default_init = True
         self._last_stats = None
+        self._phase_cache = None
+        self._print_level = 0
         self._time_tot = float("nan")
         self._time_prep = float("nan")
         self._time_fb = float("nan")
@@ -104,6 +151,8 @@ class AcadosOcpSolver:
         del reset_qp_solver_mem
         self._iterate = self._zero_iterate()
         self._default_init = True
+        self._rti_cache = None
+        self._rti_prev_cache = None
 
     # -- options ---------------------------------------------------------------
     def options_set(self, field: str, value):
@@ -118,6 +167,9 @@ class AcadosOcpSolver:
                 raise ValueError("rti_phase requires SQP_RTI")
             self._rti_phase = value
             return
+        if field == "print_level":
+            self._print_level = int(value)
+            return
         if field == "levenberg_marquardt":
             self.opts = self.opts.replace(levenberg_marquardt=float(value))
         elif field in ("tol_stat", "tol_eq", "tol_ineq", "tol_comp"):
@@ -127,10 +179,63 @@ class AcadosOcpSolver:
             self.opts = self.opts.replace(
                 qp_opts=self.opts.qp_opts.replace(
                     **{field[3:]: float(value)}))
+        elif field in ("step_length", "nlp_solver_step_length"):
+            self.opts = self.opts.replace(step_length=float(value))
+        elif field in ("alpha_min", "globalization_alpha_min"):
+            self.opts = self.opts.replace(alpha_min=float(value))
+        elif field in ("alpha_reduction", "globalization_alpha_reduction"):
+            self.opts = self.opts.replace(alpha_reduction=float(value))
+        elif field == "anderson_activation_threshold":
+            self.opts = self.opts.replace(
+                anderson_activation_threshold=float(value))
+        elif field == "with_anderson_acceleration":
+            self.opts = self.opts.replace(
+                with_anderson_acceleration=bool(value))
+        elif field == "store_iterates":
+            self.opts = self.opts.replace(store_iterates=bool(value))
+        elif field == "qp_mu0":
+            self.opts = self.opts.replace(
+                qp_opts=self.opts.qp_opts.replace(mu0=float(value)))
+        elif field == "qp_iter_max":
+            self.opts = self.opts.replace(
+                qp_opts=self.opts.qp_opts.replace(iter_max=int(value)))
+        elif field in ("timeout_max_time", "timeout_heuristic"):
+            # post-hoc timeout surface (see AcadosOcpOptions docstring)
+            if field == "timeout_max_time":
+                self.acados_ocp.solver_options.timeout_max_time = \
+                    float(value)
+            return
+        elif field == "warm_start_first_qp":
+            return  # accepted: warm starting is explicit here
         else:
-            raise ValueError(f"options_set: unsupported field {field!r}")
-        self._solve_fn = make_sqp_solver(self.form, self.opts)
+            # string-keyed fallback over the full options surface
+            # (reference ocp_nlp_solver_opts_set dispatching,
+            # ocp_nlp_interface.c:1309)
+            if hasattr(self.opts, field):
+                cur = getattr(self.opts, field)
+                cast = type(cur) if cur is not None else (lambda v: v)
+                self.opts = self.opts.replace(**{field: cast(value)})
+            elif hasattr(self.acados_ocp.solver_options, field):
+                setattr(self.acados_ocp.solver_options, field, value)
+                self.opts = _sqp_opts_from(self.acados_ocp)
+            else:
+                raise ValueError(
+                    f"options_set: unsupported field {field!r}")
+        self._solve_fn = self._make_solve_fn()
         self._rti_fns = None
+
+    def _make_solve_fn(self):
+        """Plan dispatch (reference ocp_nlp_solver_t plan enum
+        {SQP, SQP_RTI, SQP_WITH_FEASIBLE_QP, DDP},
+        ocp_nlp_interface.h:51-59)."""
+        kind = self.acados_ocp.solver_options.nlp_solver_type
+        if kind == "DDP":
+            from acados_tpu.ocp_nlp.ddp import make_ddp_solver
+            return make_ddp_solver(self.form, self.opts)
+        if kind == "SQP_WITH_FEASIBLE_QP":
+            from acados_tpu.ocp_nlp.wfqp import make_wfqp_solver
+            return make_wfqp_solver(self.form, self.opts)
+        return make_sqp_solver(self.form, self.opts)
 
     def _ensure_rti(self):
         if self._rti_fns is None:
@@ -140,19 +245,33 @@ class AcadosOcpSolver:
     def _solve_rti_phase(self) -> int:
         prepare, feedback = self._ensure_rti()
         self._maybe_default_init()
+
+        def _prepare():
+            # AS-RTI levels reuse the previous cycle's cache (matrices for
+            # B/C, iterate backup + QP for A); STANDARD ignores it.
+            if (self.opts.as_rti_level != "STANDARD"
+                    and self._rti_prev_cache is not None):
+                return prepare(data_to_jax(self._data, self.dtype),
+                               self._iterate_jax(), self._rti_prev_cache)
+            return prepare(data_to_jax(self._data, self.dtype),
+                           self._iterate_jax())
+
         if self._rti_phase == 1:
             t0 = time.perf_counter()
-            self._rti_cache = jax.block_until_ready(prepare(
-                data_to_jax(self._data, self.dtype), self._iterate_jax()))
+            self._rti_cache = jax.block_until_ready(_prepare())
             self._time_prep = time.perf_counter() - t0
             self._time_tot = self._time_prep
+            # AS-RTI levels advance the internal iterate during preparation
+            if self.opts.as_rti_level != "STANDARD":
+                self._iterate = {k: np.asarray(getattr(self._rti_cache.it,
+                                                       k))
+                                 for k in self._iterate}
             return 0
         if self._rti_cache is None:
             # feedback without preparation: prepare implicitly (reference
             # requires the user to order the phases; be forgiving)
             t0 = time.perf_counter()
-            self._rti_cache = prepare(data_to_jax(self._data, self.dtype),
-                                      self._iterate_jax())
+            self._rti_cache = _prepare()
             self._time_prep = time.perf_counter() - t0
         t0 = time.perf_counter()
         it, stats = jax.block_until_ready(feedback(
@@ -163,6 +282,7 @@ class AcadosOcpSolver:
         self._iterate = {k: np.asarray(getattr(it, k))
                          for k in self._iterate}
         self._last_stats = stats
+        self._rti_prev_cache = self._rti_cache
         self._rti_cache = None
         self._default_init = False
         return int(stats.status)
@@ -197,6 +317,15 @@ class AcadosOcpSolver:
         self._iterate = {k: np.asarray(getattr(it, k))
                          for k in self._iterate}
         self._last_stats = stats
+        self._phase_cache = None
+        if self._print_level > 0:
+            # jit compiles the whole solve into one program, so the
+            # iteration table prints post-hoc (reference prints live,
+            # ocp_nlp_sqp.c:449-465)
+            self.print_statistics()
+        budget = self.acados_ocp.solver_options.timeout_max_time
+        if budget and self._time_tot > budget and int(stats.status) != 0:
+            return 7  # ACADOS_TIMEOUT (post-hoc; see options docstring)
         return int(stats.status)
 
     def solve_for_x0(self, x0_bar, fail_on_nonzero_status=True,
@@ -213,13 +342,25 @@ class AcadosOcpSolver:
         return self.get(0, "u")
 
     # -- get / set -------------------------------------------------------------
+    def _stage_dims(self, stage: int):
+        """(nx, nu) at a stage; trims padding for multiphase problems
+        (reference returns phase-dim arrays from the multi-solver)."""
+        if not self._is_mocp:
+            return self.form.nx, self.form.nu
+        import numpy as _np
+        starts = _np.cumsum(self.acados_ocp.N_list)
+        i = int(_np.searchsorted(starts, stage, side="right"))
+        i = min(i, len(self.acados_ocp.N_list) - 1)
+        from acados_tpu.interface.multiphase import _phase_dims
+        return _phase_dims(self.acados_ocp)[i]
+
     def get(self, stage: int, field: str):
         """Reference: ocp_nlp_get_at_stage (ocp_nlp_interface.c:1704)."""
         it = self._iterate
         if field == "x":
-            return it["x"][stage].copy()
+            return it["x"][stage][:self._stage_dims(stage)[0]].copy()
         if field == "u":
-            return it["u"][stage].copy()
+            return it["u"][stage][:self._stage_dims(stage)[1]].copy()
         if field == "pi":
             return it["pi"][stage].copy()
         if field in ("sl", "su"):
@@ -378,15 +519,17 @@ class AcadosOcpSolver:
                 return zero.replace(lb_0=e, ub_0=e)
         else:
             raise ValueError(with_respect_to)
-        sens_x = [np.zeros((self.form.nx, n_wrt)) for _ in stages]
-        sens_u = [np.zeros((self.form.nu, n_wrt)) for _ in stages]
-        for i in range(n_wrt):
-            dx, du, _, _, _ = forward_sensitivity(kf, seed(i))
-            dx, du = np.asarray(dx), np.asarray(du)
-            for j, s in enumerate(stages):
-                sens_x[j][:, i] = dx[s]
-                if s < self.N:
-                    sens_u[j][:, i] = du[s]
+        # one vmapped batch over all seed directions (the reference loops
+        # ctypes calls; here a single device program handles every seed)
+        seeds = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[seed(i) for i in range(n_wrt)])
+        dxs, dus, _, _, _ = jax.vmap(
+            lambda d: forward_sensitivity(kf, d))(seeds)
+        dxs = np.moveaxis(np.asarray(dxs), 0, -1)  # (N+1, nx, n_wrt)
+        dus = np.moveaxis(np.asarray(dus), 0, -1)
+        sens_x = [dxs[s] for s in stages]
+        sens_u = [dus[s] if s < self.N
+                  else np.zeros((self.form.nu, n_wrt)) for s in stages]
         out = []
         if return_sens_x:
             out.append(sens_x if len(stages) > 1 else sens_x[0])
@@ -458,13 +601,99 @@ class AcadosOcpSolver:
             return self._time_prep
         if field == "time_feedback":
             return self._time_fb
-        if field in ("time_tot", "time_lin", "time_qp", "time_sim"):
-            return self._time_tot if field == "time_tot" else float("nan")
+        if field == "time_tot":
+            return self._time_tot
+        if field in ("time_lin", "time_qp", "time_sim", "time_reg",
+                     "time_glob"):
+            return self._phase_times()[field]
         if field == "residuals":
             return self.get_residuals()
         if field == "cost_value":
             return self.get_cost()
         raise ValueError(f"get_stats: unknown field {field!r}")
+
+    def _phase_times(self):
+        """Per-phase timing surface (reference ocp_nlp_timings,
+        ocp_nlp_common.h:410-428: time_lin/time_qp/time_sim/...).
+
+        The fused XLA program cannot be timed from inside (everything is
+        one compiled computation), so phases are measured by *isolated
+        re-execution*: the linearization, QP solve, regularization and
+        integrator sweep are each jitted standalone, run at the last
+        solve's final iterate, timed, and scaled by the iteration counts
+        from the stat matrix. Cached per solve; first call pays the
+        (cached-after-first) compile."""
+        if getattr(self, "_phase_cache", None) is not None:
+            return self._phase_cache
+        import time as _time
+
+        from acados_tpu.ocp_nlp.linearize import (build_static_rows,
+                                                  linearize)
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+        from acados_tpu.ocp_qp.ipm import solve_ocp_qp
+
+        form, opts = self.form, self.opts
+        data = data_to_jax(self._data, self.dtype)
+        it = self._iterate_jax()
+        lm = jnp.asarray(opts.levenberg_marquardt, self.dtype)
+
+        @jax.jit
+        def lin_fn(data, it):
+            static_rows = build_static_rows(form, self.dtype)
+            return linearize(form, static_rows, data, it, lm)
+
+        @jax.jit
+        def sim_fn(data, it):
+            # dynamics sweep incl. forward sensitivities (time_sim +
+            # time_sim_ad analog)
+            def one(xk, uk, pk, tk, dtk):
+                w = jnp.concatenate([xk, uk])
+                phi = lambda w_: form.step_fn(w_[:form.nx], w_[form.nx:],
+                                              pk, tk, dtk)
+                return phi(w), jax.jacfwd(phi)(w)
+
+            return jax.vmap(one)(it.x[:-1], it.u, data.p[:-1],
+                                 data.ts[:-1], data.dts)
+
+        @jax.jit
+        def reg_fn(qp):
+            return regularize_qp(qp, opts.regularize_method,
+                                 opts.reg_epsilon)
+
+        def timed(f, *args):
+            out = jax.block_until_ready(f(*args))  # compile
+            t0 = _time.perf_counter()
+            out = jax.block_until_ready(f(*args))
+            return _time.perf_counter() - t0, out
+
+        t_lin, qp = timed(lin_fn, data, it)
+        t_sim, _ = timed(sim_fn, data, it)
+        t_reg, qp_r = timed(reg_fn, qp)
+        t_qp, _ = timed(lambda q: solve_ocp_qp(q, opts.qp_opts), qp_r)
+
+        n_iter = max(int(self._last_stats.sqp_iter), 1) \
+            if self._last_stats is not None else 1
+        self._phase_cache = {
+            "time_lin": t_lin * n_iter,
+            "time_sim": t_sim * n_iter,
+            "time_reg": t_reg * n_iter,
+            "time_qp": t_qp * n_iter,
+            "time_glob": max(
+                0.0, self._time_tot - (t_lin + t_qp + t_reg) * n_iter),
+        }
+        return self._phase_cache
+
+    def get_iterates(self):
+        """Per-iteration primal trajectories when store_iterates is on
+        (reference AcadosOcpSolver.get_iterates / mem->iterates).
+        Returns dict with 'x' (n_iter+1, N+1, nx) and 'u' arrays."""
+        s = self._last_stats
+        if s is None or s.iterates_x is None:
+            raise RuntimeError("set solver_options.store_iterates = True "
+                               "before solve()")
+        n = int(s.sqp_iter) + 1
+        return {"x": np.asarray(s.iterates_x)[:n],
+                "u": np.asarray(s.iterates_u)[:n]}
 
     def print_statistics(self):
         """Reference-style iteration table (ocp_nlp_sqp.c print_iteration)."""

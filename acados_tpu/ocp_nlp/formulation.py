@@ -143,6 +143,14 @@ class ConstraintSpec:
     nh: int = 0
     h_fun: Optional[Callable] = None
     soft_rows: tuple = ()
+    # BGP: convex-over-nonlinear rows phi(r(x, u)) appended after the h
+    # block (reference ocp_nlp_constraints_bgp.c; phi convex in r). The
+    # QP rows use the chain-rule Jacobian; the exploitable outer
+    # curvature lam' * Jr' phi'' Jr enters the stage Hessian via
+    # `bgp_hess` (the reference adds it to RSQrq in update_qp_matrices).
+    nphi: int = 0
+    phi_fun: Optional[Callable] = None  # (r,) -> (nphi,)
+    r_fun: Optional[Callable] = None    # (x, u, p, t) -> (nr,)
 
     @property
     def nbx(self):
@@ -158,7 +166,7 @@ class ConstraintSpec:
 
     @property
     def nrows(self):
-        return self.nbx + self.nbu + self.ng + self.nh
+        return self.nbx + self.nbu + self.ng + self.nh + self.nphi
 
     def base_CD(self, dtype):
         """Constant part of the unified rows (box selectors + general)."""
@@ -190,16 +198,43 @@ class ConstraintSpec:
             vals.append(gv)
         if self.nh:
             vals.append(self.h_fun(x, u, p, t))
+        if self.nphi:
+            vals.append(self.phi_fun(self.r_fun(x, u, p, t)))
         if not vals:
             return jnp.zeros((0,), x.dtype)
         return jnp.concatenate(vals)
 
     def h_jac(self, x, u, p, t):
-        """(nh, nx), (nh, nu) Jacobians of the nonlinear rows."""
+        """(nnl, nx), (nnl, nu) Jacobians of the nonlinear rows
+        (h block followed by the phi(r) block, chain rule via AD)."""
         nx = self.nx
         w = jnp.concatenate([x, u])
-        J = jax.jacfwd(lambda w_: self.h_fun(w_[:nx], w_[nx:], p, t))(w)
+
+        def nl(w_):
+            vals = []
+            if self.nh:
+                vals.append(self.h_fun(w_[:nx], w_[nx:], p, t))
+            if self.nphi:
+                vals.append(self.phi_fun(self.r_fun(w_[:nx], w_[nx:],
+                                                    p, t)))
+            return jnp.concatenate(vals)
+
+        J = jax.jacfwd(nl)(w)
         return J[:, :nx], J[:, nx:]
+
+    def bgp_hess(self, x, u, p, t, w_phi):
+        """Multiplier-weighted outer-curvature Hessian contribution
+        sum_i w_i * Jr' (d2 phi_i / dr2) Jr over (x, u) — the BGP
+        exploitable convexity (reference ocp_nlp_constraints_bgp.c:
+        only the outer Hessian, never d2r). w_phi: (nphi,) weights
+        (lam_u - lam_l of the phi rows)."""
+        nx = self.nx
+        w = jnp.concatenate([x, u])
+        r = self.r_fun(x, u, p, t)
+        Hphi = jax.hessian(lambda r_: jnp.dot(w_phi,
+                                              self.phi_fun(r_)))(r)
+        Jr = jax.jacfwd(lambda w_: self.r_fun(w_[:nx], w_[nx:], p, t))(w)
+        return Jr.T @ Hphi @ Jr
 
     def soft_row_mask(self, dtype):
         m = np.zeros(self.nrows)

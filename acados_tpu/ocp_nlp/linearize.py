@@ -48,6 +48,12 @@ def _pad_rows(arr, nc, axis=0):
     return jnp.pad(arr, widths)
 
 
+def _is_mp(form) -> bool:
+    """Multi-phase formulations carry `segments`; the public entry points
+    below dispatch so the NLP solvers are phase-agnostic."""
+    return getattr(form, "segments", None) is not None
+
+
 def build_static_rows(form: OcpNlpFormulation, dtype):
     """Constant row structure: base C/D blocks, row masks, soft masks.
 
@@ -55,6 +61,9 @@ def build_static_rows(form: OcpNlpFormulation, dtype):
     the reference equivalent data lives in the constraints module memory
     set up at create time (ocp_nlp_constraints_bgh.c:1216 initialize).
     """
+    if _is_mp(form):
+        from acados_tpu.ocp_nlp.multiphase import build_static_rows_mp
+        return build_static_rows_mp(form, dtype)
     nc, N = form.nc, form.N
 
     def cls_const(spec):
@@ -83,6 +92,9 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
     lm: Levenberg-Marquardt diagonal added to the Hessian (reference
     ocp_nlp_add_levenberg_marquardt_term, ocp_nlp_common.c:2971).
     """
+    if _is_mp(form):
+        from acados_tpu.ocp_nlp.multiphase import linearize_mp
+        return linearize_mp(form, static_rows, data, it, lm)
     N, nx, nu, nc = form.N, form.nx, form.nu, form.nc
     dt = it.x.dtype
     x, u = it.x, it.u
@@ -115,6 +127,31 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
                       jnp.zeros((nu,), dt), data.p[N], data.ts[N],
                       data.cost_scale[N])
 
+    # BGP outer-curvature term: multiplier-weighted Jr' phi'' Jr added to
+    # the stage Hessian (reference ocp_nlp_constraints_bgp.c
+    # update_qp_matrices — the exploitable convexity of phi(r))
+    def bgp_term(spec, xk, uk, pk, tk, lam_l_k, lam_u_k):
+        off = spec.nbx + spec.nbu + spec.ng + spec.nh
+        # SCQP: only the UPPER-side multiplier weights the outer Hessian
+        # (reference bgp.c:1303 reads lam[2(nb+ng)+nphi+i]); phi convex and
+        # lam_u >= 0 keep the contribution PSD. Lower-side-active rows add
+        # nothing (exact-Hessian there would be concave).
+        w_phi = lam_u_k[off:off + spec.nphi]
+        return spec.bgp_hess(xk, uk, pk, tk, w_phi)
+
+    if form.con_0.nphi:
+        H0 = H0 + bgp_term(form.con_0, x[0], u[0], data.p[0], data.ts[0],
+                           it.lam_l[0], it.lam_u[0])
+    if form.con.nphi:
+        Hp = Hp + jax.vmap(lambda xk, uk, pk, tk, ll, lu: bgp_term(
+            form.con, xk, uk, pk, tk, ll, lu))(
+            x[1:N], u[1:N], data.p[1:N], data.ts[1:N],
+            it.lam_l[1:N], it.lam_u[1:N])
+    if form.con_e.nphi:
+        He = He + bgp_term(form.con_e, x[N], jnp.zeros((nu,), dt),
+                           data.p[N], data.ts[N], it.lam_l[N],
+                           it.lam_u[N])
+
     H_path = jnp.concatenate([H0[None], Hp], axis=0) + lm * eyeW
     g_path = jnp.concatenate([g0[None], gp], axis=0)
     Q = jnp.concatenate([H_path[:, :nx, :nx], (He[:nx, :nx] + lm *
@@ -128,7 +165,7 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
     def rows_one(spec, Cb, Db, xk, uk, pk, tk):
         gval = _pad_rows(spec.eval_rows(xk, uk, pk, tk), nc)
         C, D = Cb, Db
-        if spec.nh:
+        if spec.nh or spec.nphi:
             Jx, Ju = spec.h_jac(xk, uk, pk, tk)
             o = spec.nbx + spec.nbu + spec.ng
             C = jax.lax.dynamic_update_slice(C, Jx, (o, 0))
@@ -174,6 +211,9 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
 
 def eval_constraints(form: OcpNlpFormulation, data: NlpData, x, u):
     """Row values g_k(x_k, u_k) for all stages (merit / residual eval)."""
+    if _is_mp(form):
+        from acados_tpu.ocp_nlp.multiphase import eval_constraints_mp
+        return eval_constraints_mp(form, data, x, u)
     N, nc, nu = form.N, form.nc, form.nu
     dt = x.dtype
     g0 = _pad_rows(form.con_0.eval_rows(x[0], u[0], data.p[0], data.ts[0]),
@@ -190,6 +230,9 @@ def eval_cost(form: OcpNlpFormulation, data: NlpData, x, u, sl, su,
               soft_mask):
     """Total NLP objective incl. soft-slack penalties (reference
     compute_fun family, e.g. ocp_nlp_cost_ls.c:1016)."""
+    if _is_mp(form):
+        from acados_tpu.ocp_nlp.multiphase import eval_cost_mp
+        return eval_cost_mp(form, data, x, u, sl, su, soft_mask)
     N, nu = form.N, form.nu
     dt = x.dtype
     c0 = form.cost_0.value(x[0], u[0], data.p[0], data.ts[0],
@@ -213,6 +256,9 @@ def eval_cost(form: OcpNlpFormulation, data: NlpData, x, u, sl, su,
 
 def eval_dyn_gap(form: OcpNlpFormulation, data: NlpData, x, u):
     """phi(x_k, u_k) - x_{k+1} for all intervals."""
+    if _is_mp(form):
+        from acados_tpu.ocp_nlp.multiphase import eval_dyn_gap_mp
+        return eval_dyn_gap_mp(form, data, x, u)
     nx = form.nx
 
     def one(xk, uk, pk, tk, dtk, xk1):

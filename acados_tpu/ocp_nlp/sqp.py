@@ -31,6 +31,7 @@ from acados_tpu.ocp_nlp.linearize import (NlpIterate, build_static_rows,
 from acados_tpu.ocp_nlp.regularize import regularize_qp
 from acados_tpu.ocp_qp.data import OcpQp
 from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
 from acados_tpu.utils.struct import pytree_dataclass, static_field
 
 # stats matrix columns (reference ocp_nlp_sqp.c:579-585)
@@ -63,6 +64,32 @@ class SqpOpts:
     matmul_precision: str = static_field(default="highest")
     # bf16 MXU passes corrupt cost/constraint gradients on TPU (residual
     # norms stall ~1e-2); see IpmOpts.matmul_precision.
+    # QP condensing front-end (reference: qp_solver plan enum
+    # PARTIAL_CONDENSING_* / FULL_CONDENSING_* + qp_solver_cond_N,
+    # ocp_qp_interface.h:60-106). cond_N must divide N (use
+    # xcond.resolve_cond_N); None = no condensing.
+    cond_N: int | None = static_field(default=None)
+    full_cond: bool = static_field(default=False)
+    # AS-RTI advanced-step options (reference as_rti_level_t LEVEL_A..D +
+    # as_rti_iter + advancement strategy, ocp_nlp_sqp_rti.h:70-77,
+    # ocp_nlp_sqp_rti.c:711-877). Only used by make_rti_solver.
+    as_rti_level: str = static_field(default="STANDARD")  # A|B|C|D|STANDARD
+    as_rti_iter: int = static_field(default=1)
+    as_rti_advancement: str = static_field(default="SIMULATE")  # SHIFT|NONE
+    # fixed-step length (reference nlp_solver_step_length /
+    # globalization_fixed_step_length, acados_ocp_options.py)
+    step_length: float = 1.0
+    # Anderson(1) acceleration on the fixed-step update (reference
+    # with_anderson_acceleration + anderson_activation_threshold,
+    # ocp_nlp_common.c:1277-1278, globalization_fixed_step.c:174-215)
+    with_anderson_acceleration: bool = static_field(default=False)
+    anderson_activation_threshold: float = 1e1
+    # keep the per-iteration primal iterates (reference store_iterates,
+    # ocp_nlp_common.h:352); exposed via SqpStats.iterates_x/u
+    store_iterates: bool = static_field(default=False)
+    # QP scaling (reference ocp_nlp_qpscaling.c; modes mirror
+    # qpscaling_scale_objective_type): NO_SCALING | OBJECTIVE_GERSHGORIN
+    qpscaling: str = static_field(default="NO_SCALING")
     qp_opts: IpmOpts = None
 
     def __post_init__(self):
@@ -83,6 +110,10 @@ class SqpStats:
     res_comp: jnp.ndarray
     stat: jnp.ndarray       # (max_iter+1, 8) iteration table
     cost: jnp.ndarray
+    # (max_iter+1, N+1, nx)/(max_iter+1, N, nu) when store_iterates,
+    # else None (reference mem->iterates, ocp_nlp_common.h:452)
+    iterates_x: jnp.ndarray = None
+    iterates_u: jnp.ndarray = None
 
 
 def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
@@ -156,6 +187,26 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         with jax.default_matmul_precision(opts.matmul_precision):
             return _solve(data, init)
 
+    def solve_qp(qp, warm=None):
+        """QP backend dispatch: scaling front-end -> condensing front-end
+        -> Riccati IPM."""
+        scales = None
+        if opts.qpscaling != "NO_SCALING":
+            from acados_tpu.ocp_qp.qpscaling import scale_qp, unscale_sol
+            qp, scales = scale_qp(qp)
+            warm = None  # warm point is in unscaled units
+        if opts.full_cond:
+            sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
+                                           full_cond=True)
+        elif opts.cond_N is not None:
+            sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
+                                           cond_N=opts.cond_N, warm=warm)
+        else:
+            sol, info = solve_ocp_qp(qp, opts.qp_opts, warm=warm)
+        if scales is not None:
+            sol = unscale_sol(sol, scales)
+        return sol, info
+
     def _solve(data: NlpData, init: NlpIterate):
         dtype = init.x.dtype
         static_rows = build_static_rows(form, dtype)
@@ -175,14 +226,15 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
 
         nstat = len(STAT_COLS)
         stat0 = jnp.zeros((opts.max_iter + 1, nstat), dtype)
+        use_aa = (opts.with_anderson_acceleration
+                  and opts.globalization == "FIXED_STEP")
 
         def cond(carry):
-            it, k, status, done, qp_tot, stat = carry
-            return jnp.logical_and(k < opts.max_iter,
-                                   jnp.logical_not(done))
+            return jnp.logical_and(carry[1] < opts.max_iter,
+                                   jnp.logical_not(carry[3]))
 
         def body(carry):
-            it, k, status, _, qp_tot, stat = carry
+            it, k, status, _, qp_tot, stat, aa, hist = carry
             qp = linearize(form, static_rows, data, it, lm)
             rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
             stat = stat.at[k, 0].set(rs).at[k, 1].set(re) \
@@ -196,7 +248,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             # above use only gradients, so they see the true problem.
             qp_solve = regularize_qp(qp, opts.regularize_method,
                                      opts.reg_epsilon)
-            sol, info = solve_ocp_qp(qp_solve, opts.qp_opts)
+            sol, info = solve_qp(qp_solve)
             qp_ok = info.status <= 0
             # QP hit its iteration limit but may still be usable; only a
             # NaN QP is fatal (reference: QP failure propagation,
@@ -207,7 +259,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                        .at[k, 5].set(info.num_iter.astype(dtype))
 
             if opts.globalization == "FIXED_STEP":
-                alpha = jnp.asarray(1.0, dtype)
+                alpha = jnp.asarray(opts.step_length, dtype)
             else:
                 w_pi = jnp.maximum(jnp.abs(it.pi), jnp.abs(sol.pi)) + 1e-4
                 w_lam = (jnp.maximum(jnp.maximum(it.lam_l, sol.lam_lg),
@@ -244,19 +296,49 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             stat = stat.at[k, 6].set(alpha).at[k, 7].set(step_norm)
 
             beta = alpha if opts.full_step_dual is False else 1.0
-            it_new = NlpIterate(
-                x=it.x + alpha * sol.x,
-                u=it.u + alpha * sol.u,
-                pi=(1 - beta) * it.pi + beta * sol.pi,
-                lam_l=(1 - beta) * it.lam_l + beta * sol.lam_lg,
-                lam_u=(1 - beta) * it.lam_u + beta * sol.lam_ug,
-                sl=it.sl + beta * (sol.sl - it.sl),
-                su=it.su + beta * (sol.su - it.su),
-            )
+            # delta primal-dual step (Anderson works on delta form,
+            # ocp_nlp_convert_primaldelta_absdual_step_to_delta_step)
+            step = NlpIterate(
+                x=sol.x, u=sol.u, pi=sol.pi - it.pi,
+                lam_l=sol.lam_lg - it.lam_l, lam_u=sol.lam_ug - it.lam_u,
+                sl=sol.sl - it.sl, su=sol.su - it.su)
+            if use_aa:
+                prev_step, and_step = aa
+                d_diff = jax.tree.map(lambda n, o: n - o, step, prev_step)
+                dots = jax.tree.map(lambda a, c: jnp.sum(a * c), step,
+                                    d_diff)
+                nrm2 = jax.tree.map(lambda c: jnp.sum(c * c), d_diff)
+                gamma = (sum(jax.tree.leaves(dots))
+                         / jnp.maximum(sum(jax.tree.leaves(nrm2)), 1e-30))
+                res_inf = jnp.maximum(jnp.maximum(rs, re), ri)
+                plain = (k == 0) | (res_inf
+                                    > opts.anderson_activation_threshold)
+                and_new = jax.tree.map(
+                    lambda a_s, p_s, n_s: jnp.where(
+                        plain, alpha * n_s,
+                        -gamma * a_s + gamma * alpha * p_s
+                        + (alpha - gamma * alpha) * n_s),
+                    and_step, prev_step, step)
+                aa = (step, and_new)
+                it_new = jax.tree.map(lambda v, d: v + d, it, and_new)
+            else:
+                it_new = NlpIterate(
+                    x=it.x + alpha * step.x,
+                    u=it.u + alpha * step.u,
+                    pi=it.pi + beta * step.pi,
+                    lam_l=it.lam_l + beta * step.lam_l,
+                    lam_u=it.lam_u + beta * step.lam_u,
+                    sl=it.sl + beta * step.sl,
+                    su=it.su + beta * step.su,
+                )
             nan = jnp.logical_not(jnp.isfinite(
                 jnp.sum(it_new.x) + jnp.sum(it_new.u)))
             it_new = jax.tree.map(lambda n, o: jnp.where(nan | converged,
                                                          o, n), it_new, it)
+            if opts.store_iterates:
+                x_h, u_h = hist
+                hist = (x_h.at[k + 1].set(it_new.x),
+                        u_h.at[k + 1].set(it_new.u))
 
             small_step = step_norm < opts.tol_min_step_norm
             new_status = jnp.where(
@@ -266,12 +348,24 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             done = converged | nan | qp_fatal | small_step
             # k advances only when we actually stepped
             k_new = jnp.where(converged, k, k + 1)
-            return (it_new, k_new, new_status, done, qp_tot, stat)
+            return (it_new, k_new, new_status, done, qp_tot, stat, aa,
+                    hist)
 
         status0 = jnp.asarray(2, jnp.int32)  # MAXITER unless terminated
+        zero_step = jax.tree.map(jnp.zeros_like, init)
+        aa0 = (zero_step, zero_step) if use_aa else ()
+        if opts.store_iterates:
+            hist0 = (
+                jnp.zeros((opts.max_iter + 1,) + init.x.shape,
+                          dtype).at[0].set(init.x),
+                jnp.zeros((opts.max_iter + 1,) + init.u.shape,
+                          dtype).at[0].set(init.u))
+        else:
+            hist0 = ()
         carry0 = (init, jnp.asarray(0, jnp.int32), status0,
-                  jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0)
-        it, k, status, done, qp_tot, stat = jax.lax.while_loop(
+                  jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0,
+                  aa0, hist0)
+        it, k, status, done, qp_tot, stat, _aa, hist = jax.lax.while_loop(
             cond, body, carry0)
 
         # final residuals at the returned iterate
@@ -288,7 +382,11 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         cost = eval_cost(form, data, it.x, it.u, it.sl, it.su, soft_scaled)
         stats = SqpStats(status=status, sqp_iter=k, qp_iter_total=qp_tot,
                          res_stat=rs, res_eq=re, res_ineq=ri, res_comp=rc,
-                         stat=stat, cost=cost)
+                         stat=stat, cost=cost,
+                         iterates_x=hist[0] if opts.store_iterates
+                         else None,
+                         iterates_u=hist[1] if opts.store_iterates
+                         else None)
         return it, stats
 
     return jax.jit(solve)

@@ -1,0 +1,271 @@
+"""Partial condensing: N-stage OCP-QP -> N2-stage OCP-QP (horizon re-blocking).
+
+TPU-native counterpart of the reference's partial condensing wrapper
+(/root/reference/acados/ocp_qp/ocp_qp_partial_condensing.c:172-253, which
+wraps HPIPM's d_part_cond_qp_*): groups of M = N/N2 consecutive stages are
+condensed into one stage whose state is the block-entry state and whose
+control stacks the block's M controls. Intermediate states are eliminated
+by forward substitution
+
+    x_{k0+i} = Gamma_i x_bar + Phi_i u_bar + gamma_i .
+
+Why this matters on TPU: the sequential Riccati scan is O(N) steps of tiny
+(nx, nu) algebra — latency-bound on the MXU. Condensing trades scan length
+for per-stage matrix size ((M*nu)-wide blocks), exactly the knob
+`qp_solver_cond_N` exposes in the reference (docs/features/index.md:115-119).
+The condensing itself is one `vmap` over blocks: every block's elimination
+runs in parallel as batched matmuls.
+
+Deviations from HPIPM:
+- uniform block size only (N2 must divide N); HPIPM distributes a remainder
+  over the first blocks (d_part_cond_qp_compute_block_size). Static XLA
+  shapes favor uniformity; the interface layer picks a divisor of N.
+- constraint rows of all block stages are carried as condensed general rows
+  (this matches HPIPM: state bounds of eliminated stages become general
+  constraints on (x_bar, u_bar)).
+
+Expansion recovers the full-horizon primal/dual solution, including the
+eliminated dynamics multipliers pi via the stage-wise stationarity identity
+(the reference expands via d_part_cond_qp_expand_sol).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
+from acados_tpu.utils.struct import pytree_dataclass
+
+
+@pytree_dataclass
+class PartialCondCache:
+    """Per-block elimination operators needed to expand the solution.
+
+    Gams (N2, M, nx, nx)    x_{k0+i} = Gams[j,i] x_bar_j + ...
+    Phis (N2, M, nx, M*nu)
+    gams (N2, M, nx)
+    """
+
+    Gams: jnp.ndarray
+    Phis: jnp.ndarray
+    gams: jnp.ndarray
+
+
+def _block_prop(A, B, b):
+    """Within-block state propagation operators.
+
+    A (M, nx, nx), B (M, nx, nu), b (M, nx) ->
+      Gams/Phis/gams for i = 0..M-1 plus the block-exit triple
+      (Gam_M, Phi_M, gam_M) = condensed (A_bar, B_bar, b_bar).
+    """
+    M, nx, nu = B.shape
+    dt = A.dtype
+
+    def step(carry, inp):
+        Gam, Phi, gam = carry
+        A_i, B_i, b_i, i = inp
+        out = (Gam, Phi, gam)
+        Gam_n = A_i @ Gam
+        Phi_n = A_i @ Phi
+        Phi_n = jax.lax.dynamic_update_slice(Phi_n, B_i, (0, i * nu))
+        gam_n = A_i @ gam + b_i
+        return (Gam_n, Phi_n, gam_n), out
+
+    init = (jnp.eye(nx, dtype=dt), jnp.zeros((nx, M * nu), dt),
+            jnp.zeros((nx,), dt))
+    (GamM, PhiM, gamM), (Gams, Phis, gams) = jax.lax.scan(
+        step, init, (A, B, b, jnp.arange(M)))
+    return Gams, Phis, gams, GamM, PhiM, gamM
+
+
+def _condense_block(A, B, b, Q, R, S, q, r, C, D, lg, ug):
+    """Condense one block of M stages. All inputs are the block's M stages.
+
+    Returns the condensed stage's cost/dynamics/constraint data.
+    """
+    M, nx, nu = B.shape
+    nc = C.shape[1]
+    dt = A.dtype
+    Gams, Phis, gams, A_bar, B_bar, b_bar = _block_prop(A, B, b)
+
+    # --- cost ---------------------------------------------------------------
+    # x_i = Gam_i xb + Phi_i ub + gam_i;  u_i = E_i ub (contiguous blocks)
+    Qg = jnp.einsum("iab,ib->ia", Q, gams) + q       # Q_i gam_i + q_i
+    Q_bar = jnp.einsum("iax,iab,iby->xy", Gams, Q, Gams)
+    q_bar = jnp.einsum("iax,ia->x", Gams, Qg)
+
+    # R_bar = Phi'QPhi + blkdiag(R) + E'S Phi + (E'S Phi)'
+    PQP = jnp.einsum("iau,iab,ibv->uv", Phis, Q, Phis)
+    Rblk = jnp.zeros((M, nu, M, nu), dt)
+    Rblk = Rblk.at[jnp.arange(M), :, jnp.arange(M), :].set(R)
+    Rblk = Rblk.reshape(M * nu, M * nu)
+    SPhi = jnp.einsum("iux,ixv->iuv", S, Phis).reshape(M * nu, M * nu)
+    R_bar = PQP + Rblk + SPhi + SPhi.T
+    S_bar = (jnp.einsum("iau,iab,ibx->ux", Phis, Q, Gams)
+             + jnp.einsum("iux,ixy->iuy", S, Gams).reshape(M * nu, nx))
+    r_bar = (jnp.einsum("iau,ia->u", Phis, Qg)
+             + (jnp.einsum("iux,ix->iu", S, gams) + r).reshape(M * nu))
+
+    # --- constraints ----------------------------------------------------------
+    # g_i = C_i x_i + D_i u_i = (C_i Gam_i) xb + (C_i Phi_i + D_i E_i) ub
+    #       + C_i gam_i
+    C_bar = jnp.einsum("ica,iax->icx", C, Gams).reshape(M * nc, nx)
+    CPhi = jnp.einsum("ica,iau->icu", C, Phis)            # (M, nc, M*nu)
+    DE = jnp.zeros((M, nc, M, nu), dt)
+    DE = DE.at[jnp.arange(M), :, jnp.arange(M), :].set(D)
+    D_bar = (CPhi + DE.reshape(M, nc, M * nu)).reshape(M * nc, M * nu)
+    Cg = jnp.einsum("ica,ia->ic", C, gams)
+    lg_bar = (lg - Cg).reshape(M * nc)
+    ug_bar = (ug - Cg).reshape(M * nc)
+
+    cache = (Gams, Phis, gams)
+    return (Q_bar, R_bar, S_bar, q_bar, r_bar, A_bar, B_bar, b_bar,
+            C_bar, D_bar, lg_bar, ug_bar, cache)
+
+
+def partial_condense(qp: OcpQp, N2: int):
+    """Condense an N-stage OcpQp to N2 stages (N2 must divide N).
+
+    Returns (qp_cond, cache). qp_cond has nu_bar = M*nu and nc_bar = M*nc;
+    the terminal stage carries the original terminal cost/rows (padded to
+    nc_bar with disabled masks).
+    """
+    d = qp.dims
+    N, nx, nu, nc = d.N, d.nx, d.nu, d.nc
+    if N % N2 != 0:
+        raise ValueError(f"partial condensing needs N2 | N, got N={N}, "
+                         f"N2={N2}")
+    M = N // N2
+    dt = qp.q.dtype
+
+    def blk(a):
+        return a.reshape((N2, M) + a.shape[1:])
+
+    out = jax.vmap(_condense_block)(
+        blk(qp.A), blk(qp.B), blk(qp.b), blk(qp.Q[:N]), blk(qp.R),
+        blk(qp.S), blk(qp.q[:N]), blk(qp.r), blk(qp.C[:N]), blk(qp.D),
+        blk(qp.lg[:N]), blk(qp.ug[:N]))
+    (Q_b, R_b, S_b, q_b, r_b, A_b, B_b, b_b, C_b, D_b, lg_b, ug_b,
+     (Gams, Phis, gams)) = out
+
+    ncb = M * nc
+    pad_c = jnp.zeros((1, ncb, nx), dt).at[0, :nc].set(qp.C[N])
+    pad = lambda v, fill: jnp.full((1, ncb), fill, dt).at[0, :nc].set(v[N])
+
+    qp_cond = OcpQp(
+        Q=jnp.concatenate([Q_b, qp.Q[N][None]]),
+        R=R_b, S=S_b,
+        q=jnp.concatenate([q_b, qp.q[N][None]]),
+        r=r_b, A=A_b, B=B_b, b=b_b,
+        C=jnp.concatenate([C_b.reshape(N2, ncb, nx), pad_c]),
+        D=D_b.reshape(N2, ncb, M * nu),
+        lg=jnp.concatenate([lg_b.reshape(N2, ncb), pad(qp.lg, -1.0)]),
+        ug=jnp.concatenate([ug_b.reshape(N2, ncb), pad(qp.ug, 1.0)]),
+        mask_l=jnp.concatenate([blk(qp.mask_l[:N]).reshape(N2, ncb),
+                                pad(qp.mask_l, 0.0)]),
+        mask_u=jnp.concatenate([blk(qp.mask_u[:N]).reshape(N2, ncb),
+                                pad(qp.mask_u, 0.0)]),
+        Zl=jnp.concatenate([blk(qp.Zl[:N]).reshape(N2, ncb),
+                            pad(qp.Zl, 0.0)]),
+        Zu=jnp.concatenate([blk(qp.Zu[:N]).reshape(N2, ncb),
+                            pad(qp.Zu, 0.0)]),
+        zl=jnp.concatenate([blk(qp.zl[:N]).reshape(N2, ncb),
+                            pad(qp.zl, 0.0)]),
+        zu=jnp.concatenate([blk(qp.zu[:N]).reshape(N2, ncb),
+                            pad(qp.zu, 0.0)]),
+        soft_mask=jnp.concatenate([blk(qp.soft_mask[:N]).reshape(N2, ncb),
+                                   pad(qp.soft_mask, 0.0)]),
+    )
+    return qp_cond, PartialCondCache(Gams=Gams, Phis=Phis, gams=gams)
+
+
+def partial_expand(qp: OcpQp, cache: PartialCondCache,
+                   sol_c: OcpQpSol) -> OcpQpSol:
+    """Expand a condensed solution back to the full horizon.
+
+    Interior dynamics multipliers are recovered from the stationarity
+    identity at eliminated states:
+      pi_{k-1} = Q_k x_k + q_k + S_k'u_k - C_k'lam_k + A_k'pi_k .
+    """
+    d = qp.dims
+    N, nx, nu, nc = d.N, d.nx, d.nu, d.nc
+    N2, M = cache.Gams.shape[0], cache.Gams.shape[1]
+
+    xb = sol_c.x            # (N2+1, nx)
+    ub = sol_c.u            # (N2, M*nu)
+    u = ub.reshape(N, nu)
+
+    # interior states: x_{jM+i} = Gam_i xb_j + Phi_i ub_j + gam_i
+    x_blocks = (jnp.einsum("jiab,jb->jia", cache.Gams, xb[:N2])
+                + jnp.einsum("jiau,ju->jia", cache.Phis, ub)
+                + cache.gams)
+    x = jnp.concatenate([x_blocks.reshape(N, nx), xb[N2][None]])
+
+    def unblk(v_c, v_term_fill=None):
+        """Condensed rows (N2+1, M*nc) -> original rows (N+1, nc)."""
+        path = v_c[:N2].reshape(N, nc)
+        term = v_c[N2, :nc]
+        return jnp.concatenate([path, term[None]])
+
+    lam_l = unblk(sol_c.lam_lg)
+    lam_u = unblk(sol_c.lam_ug)
+    t_l = unblk(sol_c.t_lg)
+    t_u = unblk(sol_c.t_ug)
+    sl = unblk(sol_c.sl)
+    su = unblk(sol_c.su)
+
+    # pi: boundary multipliers are the condensed ones; interiors by a
+    # per-block reversed scan over the stationarity identity.
+    lam_d = qp.mask_l * lam_l - qp.mask_u * lam_u
+
+    def blk(a):
+        return a.reshape((N2, M) + a.shape[1:])
+
+    # data at stages k = jM+i for i = 1..M-1 (interior states of block j)
+    Qb = blk(qp.Q[:N])
+    qb = blk(qp.q[:N])
+    Sb = blk(qp.S)
+    Ab = blk(qp.A)
+    Cb = blk(qp.C[:N])
+    ub_stage = blk(u)
+    xb_stage = blk(x[:N])
+    lamd_b = blk(lam_d[:N])
+
+    def pi_block(pibar_j, Qj, qj, Sj, uj, Cj, lamj, Aj, xj):
+        def step(pi_next, inp):
+            Q_i, q_i, S_i, u_i, C_i, lam_i, A_i, x_i = inp
+            pi_prev = (Q_i @ x_i + q_i + S_i.T @ u_i - C_i.T @ lam_i
+                       + A_i.T @ pi_next)
+            return pi_prev, pi_prev
+        xs = (Qj[1:], qj[1:], Sj[1:], uj[1:], Cj[1:], lamj[1:], Aj[1:],
+              xj[1:])
+        _, pis = jax.lax.scan(step, pibar_j, xs, reverse=True)
+        # pis[i-1] = pi_{jM+i-1} for i = 1..M-1; append the boundary pi.
+        return jnp.concatenate([pis, pibar_j[None]])
+
+    pi = jax.vmap(pi_block)(sol_c.pi, Qb, qb, Sb, ub_stage, Cb, lamd_b,
+                            Ab, xb_stage).reshape(N, nx)
+
+    return OcpQpSol(x=x, u=u, pi=pi, lam_lg=lam_l, lam_ug=lam_u,
+                    t_lg=t_l, t_ug=t_u, sl=sl, su=su)
+
+
+def condense_warm(warm: OcpQpSol, N2: int) -> OcpQpSol:
+    """Map a full-horizon warm start onto the condensed variables."""
+    N = warm.u.shape[0]
+    M = N // N2
+    nc = warm.lam_lg.shape[-1]
+    ncb = M * nc
+
+    def rows(v, fill):
+        path = v[:N].reshape(N2, ncb)
+        term = jnp.full((1, ncb), fill, v.dtype).at[0, :nc].set(v[N])
+        return jnp.concatenate([path, term])
+
+    return OcpQpSol(
+        x=jnp.concatenate([warm.x[:N:M], warm.x[N][None]]),
+        u=warm.u.reshape(N2, M * warm.u.shape[-1]),
+        pi=warm.pi[M - 1::M],
+        lam_lg=rows(warm.lam_lg, 0.0), lam_ug=rows(warm.lam_ug, 0.0),
+        t_lg=rows(warm.t_lg, 1.0), t_ug=rows(warm.t_ug, 1.0),
+        sl=rows(warm.sl, 0.0), su=rows(warm.su, 0.0))

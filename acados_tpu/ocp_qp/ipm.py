@@ -32,7 +32,9 @@ import jax
 import jax.numpy as jnp
 
 from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
-from acados_tpu.ocp_qp.riccati import riccati_factor, riccati_solve
+from acados_tpu.ocp_qp.riccati import (parallel_riccati_factor,
+                                       parallel_riccati_solve,
+                                       riccati_factor, riccati_solve)
 from acados_tpu.utils.struct import pytree_dataclass, static_field
 
 
@@ -55,6 +57,10 @@ class IpmOpts:
     # max(mu_min, 10*eps(dtype)): once the barrier is below machine
     # precision further iterations only amplify roundoff (relevant for the
     # f32 TPU production path; f64 oracles are unaffected).
+    parallel_riccati: bool = static_field(default=False)
+    # Log-depth associative-scan Riccati (riccati.py parallel_*): wins for
+    # long horizons (N >> 64) where the sequential stage scan is
+    # latency-bound; ~4x the FLOPs per sweep, so keep off for short N.
     matmul_precision: str = static_field(default="highest")
     # TPU MXU matmuls on f32 inputs default to bf16 passes, which destroys
     # the Newton directions (stationarity stalls ~1e-2); 'highest' uses
@@ -183,7 +189,7 @@ def _barrier_hessian(qp: OcpQp, W):
 
 
 def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
-                 rhs_cl, rhs_cu, rhs_csl, rhs_csu):
+                 rhs_cl, rhs_cu, rhs_csl, rhs_csu, parallel=False):
     """One reduced Newton solve for given complementarity right-hand sides."""
     rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
     _, (wl, wu, wsl, wsu, denom_l, denom_u) = weights
@@ -202,7 +208,8 @@ def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
     cg, dg_ = _ct_vec(qp, gamma)
     qb = rx - cg
     rb = ru - dg_
-    dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qb, rb, r_dyn)
+    rsolve = parallel_riccati_solve if parallel else riccati_solve
+    dx, du, dpi = rsolve(fact, qp.A, qp.B, qb, rb, r_dyn)
     dg = jnp.einsum("kij,kj->ki", qp.C, dx)
     dg = dg.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, du))
 
@@ -268,12 +275,29 @@ def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
     t0 = jnp.asarray(opts.t0_min, dt)
     t_l = jnp.where(ml > 0, jnp.maximum(g - qp.lg, t0), 1.0)
     t_u = jnp.where(mu_ > 0, jnp.maximum(qp.ug - g, t0), 1.0)
-    lam_l = jnp.where(ml > 0, opts.mu0 / t_l, 0.0)
-    lam_u = jnp.where(mu_ > 0, opts.mu0 / t_u, 0.0)
-    sl = jnp.ones_like(t_l)
-    su = jnp.ones_like(t_u)
-    lam_sl = jnp.where(sml > 0, jnp.asarray(opts.mu0, dt), 1.0)
-    lam_su = jnp.where(smu > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    if warm is None:
+        lam_l = jnp.where(ml > 0, opts.mu0 / t_l, 0.0)
+        lam_u = jnp.where(mu_ > 0, opts.mu0 / t_u, 0.0)
+        sl = jnp.ones_like(t_l)
+        su = jnp.ones_like(t_u)
+        lam_sl = jnp.where(sml > 0, jnp.asarray(opts.mu0, dt), 1.0)
+        lam_su = jnp.where(smu > 0, jnp.asarray(opts.mu0, dt), 1.0)
+    else:
+        # dual warm start (reference analog: HPIPM warm_start modes 1/2 —
+        # primal, or primal+dual with clipped multipliers). Multipliers are
+        # floored at t0_min so the point stays strictly interior; slacks for
+        # softened rows include the slack-relaxed part of the warm slack so
+        # t and lam stay consistent with the warm point.
+        lam_l = jnp.where(ml > 0, jnp.maximum(warm.lam_lg, t0), 0.0)
+        lam_u = jnp.where(mu_ > 0, jnp.maximum(warm.lam_ug, t0), 0.0)
+        sl = jnp.where(sml > 0, jnp.maximum(warm.sl, t0), 1.0)
+        su = jnp.where(smu > 0, jnp.maximum(warm.su, t0), 1.0)
+        t_l = jnp.where(ml > 0, jnp.maximum(g + sml * sl - qp.lg, t0), 1.0)
+        t_u = jnp.where(mu_ > 0, jnp.maximum(qp.ug + smu * su - g, t0), 1.0)
+        lam_sl = jnp.where(sml > 0,
+                           jnp.maximum(qp.zl + qp.Zl * sl - lam_l, t0), 1.0)
+        lam_su = jnp.where(smu > 0,
+                           jnp.maximum(qp.zu + qp.Zu * su - lam_u, t0), 1.0)
     return _Iterate(x=x, u=u, pi=pi, lam_l=lam_l, lam_u=lam_u,
                     t_l=t_l, t_u=t_u, sl=sl, su=su,
                     lam_sl=lam_sl, lam_su=lam_su)
@@ -313,7 +337,9 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         weights = _row_weights(qp, it)
         W = weights[0]
         Qb, Rb, Sb = _barrier_hessian(qp, W)
-        fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=opts.reg_eps)
+        rfactor = (parallel_riccati_factor if opts.parallel_riccati
+                   else riccati_factor)
+        fact = rfactor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=opts.reg_eps)
 
         ml, mu_2 = qp.mask_l, qp.mask_u
         sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_2
@@ -323,7 +349,8 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         rhs_csl = -sml * it.lam_sl * it.sl
         rhs_csu = -smu * it.lam_su * it.su
         d_aff = _newton_step(qp, fact, it, res, weights,
-                             rhs_cl, rhs_cu, rhs_csl, rhs_csu)
+                             rhs_cl, rhs_cu, rhs_csl, rhs_csu,
+                             parallel=opts.parallel_riccati)
         alpha_aff = _max_alpha(qp, it, d_aff, opts.tau)
         mu_aff = _mu_of(qp, _apply(it, d_aff, alpha_aff))
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
@@ -335,7 +362,8 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         rhs_csl = sml * (cmu - it.lam_sl * it.sl - d_aff.lam_sl * d_aff.sl)
         rhs_csu = smu * (cmu - it.lam_su * it.su - d_aff.lam_su * d_aff.su)
         d = _newton_step(qp, fact, it, res, weights,
-                         rhs_cl, rhs_cu, rhs_csl, rhs_csu)
+                         rhs_cl, rhs_cu, rhs_csl, rhs_csu,
+                         parallel=opts.parallel_riccati)
         alpha = _max_alpha(qp, it, d, opts.tau)
         it_new = _apply(it, d, alpha)
 

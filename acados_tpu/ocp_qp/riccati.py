@@ -80,6 +80,30 @@ def riccati_factor(Qb, Rb, Sb, A, B, reg_eps: float = 0.0) -> RiccatiFactor:
     return RiccatiFactor(P=P_full, Luu=Luu, K=K, LP0=LP0)
 
 
+def riccati_backward(fact: RiccatiFactor, A, B, qb, rb, b):
+    """Backward value-gradient sweep only: returns (kff (N, nu),
+    p (N+1, nx)) — the affine policy du = K dx + kff and cost-to-go
+    gradients. Used by DDP's nonlinear forward rollout
+    (reference ocp_nlp_ddp.c evaluates the same policy via HPIPM's
+    Riccati and applies it through the true dynamics)."""
+    P_next = fact.P[1:]
+
+    def bstep(p, inp):
+        A_k, B_k, P_k1, Luu, K, qb_k, rb_k, b_k = inp
+        Pb_p = P_k1 @ b_k + p
+        h_u = rb_k + B_k.T @ Pb_p
+        kff = -jax.scipy.linalg.cho_solve((Luu, True), h_u)
+        p_new = qb_k + A_k.T @ Pb_p + K.T @ h_u
+        return p_new, (kff, p)
+
+    p0, (kff, p_next_seq) = jax.lax.scan(
+        bstep, qb[-1], (A, B, P_next, fact.Luu, fact.K, qb[:-1], rb, b),
+        reverse=True,
+    )
+    p = jnp.concatenate([p0[None], p_next_seq], axis=0)
+    return kff, p
+
+
 def riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
     """Solve the LQ problem for one right-hand side using a factorization.
 
@@ -122,4 +146,143 @@ def riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
         fstep, dx0, (A, B, b, fact.K, kff, P_next, p_next_seq)
     )
     dx = jnp.concatenate([dx0[None], dx_rest], axis=0)
+    return dx, du, dpi
+
+
+# ---------------------------------------------------------------------------
+# Parallel-in-time Riccati (log-depth associative scan)
+# ---------------------------------------------------------------------------
+#
+# The reference's Riccati (HPIPM, ocp_qp_hpipm.c:347) is sequential O(N)
+# over stages — fine on CPU, latency-bound on TPU where each step is tiny
+# (nx, nu) algebra. Here the backward sweep is re-formulated as an
+# associative operation on conditional value-function elements
+# (Sarkka & Garcia-Fernandez, "Temporal Parallelization of Dynamic
+# Programming and Linear Quadratic Control" — PAPERS.md items 2-5), so
+# `jax.lax.associative_scan` evaluates it in O(log N) depth. Each element
+# represents
+#
+#   V_e(x, z) = sup_lam [lam'(z - A_e x - b_e) - 0.5 lam' C_e lam]
+#               + 0.5 x' J_e x - eta_e' x
+#
+# i.e. the stage's cost-to-go from x to z with u eliminated:
+#   A_e = A - B R^{-1} S,  b_e = b - B R^{-1} r,  C_e = B R^{-1} B',
+#   J_e = Q - S' R^{-1} S, eta_e = -(q - S' R^{-1} r).
+# The terminal element is (0, 0, 0, -q_N, Q_N). Composition
+# (earlier i) ⊗ (later j), all inverses as solves of I + C_i J_j:
+#   A = A_j (I + C_i J_j)^{-1} A_i
+#   b = A_j (I + C_i J_j)^{-1} (b_i + C_i eta_j) + b_j
+#   C = A_j (I + C_i J_j)^{-1} C_i A_j' + C_j
+#   eta = A_i' (I + J_j C_i)^{-1} (eta_j - J_j b_i) + eta_i
+#   J = A_i' (I + J_j C_i)^{-1} J_j A_i + J_i
+# The suffix-combined element at k has J = P_k, eta = -p_k.
+#
+# The rhs-only backward pass (predictor/corrector share one factorization)
+# and the forward rollout are affine recursions; both run as associative
+# scans over affine-map composition.
+
+
+def _compose_affine(inner, outer):
+    """Affine-map composition outer o inner: x -> Mo (Mi x + vi) + vo.
+
+    Argument order matches `lax.associative_scan`'s reduction in both
+    directions: the first argument is the already-combined subtree the
+    current element wraps around (prefix scan: lower indices, inner of the
+    forward rollout; reverse scan: higher indices, inner of the backward
+    p-recursion)."""
+    Mi, vi = inner
+    Mo, vo = outer
+    return Mo @ Mi, Mo @ vi + vo
+
+
+def parallel_riccati_factor(Qb, Rb, Sb, A, B,
+                            reg_eps: float = 0.0) -> RiccatiFactor:
+    """Drop-in replacement for `riccati_factor` with log-depth scans."""
+    nx = Qb.shape[-1]
+    nu = Rb.shape[-1]
+    dt = Qb.dtype
+    eye_u = jnp.eye(nu, dtype=dt) * reg_eps
+    eye_x = jnp.eye(nx, dtype=dt)
+
+    # per-stage elimination of u (batched over stages)
+    LR = jnp.linalg.cholesky(Rb + eye_u)
+    RiS = jax.vmap(lambda L, S_: jax.scipy.linalg.cho_solve((L, True),
+                                                            S_))(LR, Sb)
+    RiBt = jax.vmap(lambda L, B_: jax.scipy.linalg.cho_solve(
+        (L, True), B_.T))(LR, B)
+    A_e = A - jnp.einsum("kij,kjl->kil", B, RiS)
+    C_e = jnp.einsum("kij,kjl->kil", B, RiBt)
+    J_e = Qb[:-1] - jnp.einsum("kji,kjl->kil", Sb, RiS)
+    # terminal element
+    A_el = jnp.concatenate([A_e, jnp.zeros((1, nx, nx), dt)])
+    C_el = jnp.concatenate([C_e, jnp.zeros((1, nx, nx), dt)])
+    J_el = jnp.concatenate([J_e, Qb[-1][None]])
+
+    def combine(ej, ei):
+        # reverse scan: jax passes (later, earlier); we need i (earlier)
+        # ⊗ j (later)
+        Aj, Cj, Jj = ej
+        Ai, Ci, Ji = ei
+        M = eye_x + Ci @ Jj
+        MiAi = jnp.linalg.solve(M, Ai)
+        MiCi = jnp.linalg.solve(M, Ci)
+        A_n = Aj @ MiAi
+        C_n = Aj @ MiCi @ Aj.T + Cj
+        J_n = Ai.T @ Jj @ MiAi + Ji
+        J_n = 0.5 * (J_n + J_n.T)
+        return (A_n, C_n, J_n)
+
+    _, _, J_suffix = jax.lax.associative_scan(
+        jax.vmap(combine), (A_el, C_el, J_el), reverse=True)
+    P = J_suffix  # (N+1, nx, nx); P[k] = cost-to-go Hessian at stage k
+
+    # per-stage gains from P_{k+1} (batched)
+    P1 = P[1:]
+    PB = jnp.einsum("kij,kjl->kil", P1, B)
+    PA = jnp.einsum("kij,kjl->kil", P1, A)
+    Huu = Rb + jnp.einsum("kji,kjl->kil", B, PB)
+    Hux = Sb + jnp.einsum("kji,kjl->kil", B, PA)
+    Luu = jnp.linalg.cholesky(Huu + eye_u)
+    K = -jax.vmap(lambda L, H: jax.scipy.linalg.cho_solve((L, True),
+                                                          H))(Luu, Hux)
+    LP0 = jnp.linalg.cholesky(P[0] + reg_eps * eye_x)
+    return RiccatiFactor(P=P, Luu=Luu, K=K, LP0=LP0)
+
+
+def parallel_riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
+    """Drop-in replacement for `riccati_solve` with log-depth scans."""
+    P1 = fact.P[1:]
+    E = A + jnp.einsum("kij,kjl->kil", B, fact.K)  # closed loop
+
+    # backward affine recursion p_k = qhat_k + E_k' p_{k+1}
+    Pb = jnp.einsum("kij,kj->ki", P1, b)
+    qhat = (qb[:-1] + jnp.einsum("kji,kj->ki", fact.K, rb)
+            + jnp.einsum("kji,kj->ki", E, Pb))
+    Et = jnp.swapaxes(E, -1, -2)
+    nx = qb.shape[-1]
+    eye = jnp.eye(nx, dtype=qb.dtype)
+    M_el = jnp.concatenate([Et, jnp.zeros((1, nx, nx), qb.dtype)])
+    v_el = jnp.concatenate([qhat, qb[-1][None]])
+
+    M_suf, v_suf = jax.lax.associative_scan(
+        jax.vmap(_compose_affine), (M_el, v_el), reverse=True)
+    p = v_suf  # p_k for k = 0..N (suffix maps applied to p_{N+1} = 0)
+
+    h_u = rb + jnp.einsum("kji,kj->ki", B, Pb + p[1:])
+    kff = -jax.vmap(lambda L, h: jax.scipy.linalg.cho_solve((L, True),
+                                                            h))(fact.Luu,
+                                                                h_u)
+    if dx0 is None:
+        dx0 = -jax.scipy.linalg.cho_solve((fact.LP0, True), p[0])
+
+    # forward affine recursion dx_{k+1} = E_k dx_k + (B kff + b)
+    v_fwd = jnp.einsum("kij,kj->ki", B, kff) + b
+    M_pre, v_pre = jax.lax.associative_scan(
+        jax.vmap(_compose_affine),
+        (jnp.concatenate([eye[None], E]),
+         jnp.concatenate([jnp.zeros((1, nx), qb.dtype), v_fwd])))
+    dx = jnp.einsum("kij,j->ki", M_pre, dx0) + v_pre  # (N+1, nx)
+
+    du = jnp.einsum("kij,kj->ki", fact.K, dx[:-1]) + kff
+    dpi = jnp.einsum("kij,kj->ki", P1, dx[1:]) + p[1:]
     return dx, du, dpi

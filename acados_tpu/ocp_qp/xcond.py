@@ -1,0 +1,61 @@
+"""Condensing QP front-end: {none, partial, full} x backend dispatch.
+
+TPU-native counterpart of the reference's xcond solver
+(/root/reference/acados/ocp_qp/ocp_qp_xcond_solver.c:551-716): the single QP
+entry the NLP layer calls, wrapping condense -> backend solve -> expand.
+Backends: the Riccati IPM (ocp_qp/ipm.py, HPIPM analog) for OCP-structured
+QPs, the dense IPM (dense_qp/ipm.py) after full condensing.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+
+from acados_tpu.dense_qp.ipm import solve_dense_qp
+from acados_tpu.ocp_qp.condensing import (condense_warm, partial_condense,
+                                          partial_expand)
+from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
+from acados_tpu.ocp_qp.full_condensing import full_condense, full_expand
+from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+
+
+def resolve_cond_N(N: int, cond_N) -> int | None:
+    """Pick the largest divisor of N that is <= the requested cond_N.
+
+    HPIPM supports ragged blocks (d_part_cond_qp_compute_block_size,
+    ocp_qp_partial_condensing.c:172-177); static XLA shapes want uniform
+    blocks, so the nearest divisor is used instead.
+    """
+    if cond_N is None or cond_N >= N:
+        return None
+    cond_N = max(int(cond_N), 1)
+    for n2 in range(cond_N, 0, -1):
+        if N % n2 == 0:
+            return n2
+    return None
+
+
+@partial(jax.jit, static_argnames=("cond_N", "full_cond"))
+def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
+                       full_cond: bool = False,
+                       warm: OcpQpSol | None = None):
+    """Solve an OcpQp through the condensing front-end.
+
+    cond_N: partial-condensing horizon (must divide N; use resolve_cond_N);
+      None = no condensing (direct Riccati IPM, HPIPM's N2 == N default).
+    full_cond: condense to a dense QP and solve with the dense IPM.
+    Returns (OcpQpSol in original coordinates, IpmInfo).
+    """
+    if opts is None:
+        opts = IpmOpts()
+    if full_cond:
+        dense, cache = full_condense(qp)
+        sol_d, info = solve_dense_qp(dense, opts)
+        return full_expand(qp, cache, sol_d), info
+    if cond_N is None or cond_N >= qp.dims.N:
+        return solve_ocp_qp(qp, opts, warm=warm)
+    qp_c, cache = partial_condense(qp, cond_N)
+    warm_c = None if warm is None else condense_warm(warm, cond_N)
+    sol_c, info = solve_ocp_qp(qp_c, opts, warm=warm_c)
+    return partial_expand(qp, cache, sol_c), info

@@ -34,7 +34,8 @@ import time
 import numpy as np
 
 
-def _build_rti(make_ocp, x0_center, sigma, B, jdtype, seed=0, **ocp_kw):
+def _build_rti(make_ocp, x0_center, sigma, B, jdtype, seed=0,
+               opts_update=None, qp_opts_update=None, **ocp_kw):
     """Build a batched warm-RTI solve closure + initial batch state."""
     import jax
     import jax.numpy as jnp
@@ -48,6 +49,10 @@ def _build_rti(make_ocp, x0_center, sigma, B, jdtype, seed=0, **ocp_kw):
     ocp = out[0] if isinstance(out, tuple) else out
     form, data_np, _ = build_ocp(ocp)
     opts = _sqp_opts_from(ocp)
+    if opts_update:
+        opts = opts.replace(**opts_update)
+    if qp_opts_update:
+        opts = opts.replace(qp_opts=opts.qp_opts.replace(**qp_opts_update))
     solve = make_sqp_solver(form, opts)
     solve_batch = jax.jit(jax.vmap(solve))
 
@@ -177,21 +182,34 @@ def bench_chain_rti(n_mass=8, B=256, N=40):
 
 
 def bench_long_horizon_rti(N=128, B=1024):
+    """Long-horizon stress: plain sequential Riccati vs partial
+    condensing (cond_N) vs the log-depth parallel-in-time Riccati —
+    the three answers to the sequential-scan latency problem."""
     import jax.numpy as jnp
 
     from acados_tpu.models.pendulum import make_pendulum_ocp
 
-    solve_batch, data, init, ocp = _build_rti(
-        make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.02, B, jnp.float32,
-        N=N, Tf=1.0, dtype="float32",
-        nlp_solver_type="SQP_RTI")  # same 1 s problem, 128 shooting stages
-    it, stats = _steady_state_rti(solve_batch, data, init, warm_reps=25)
-    dt_s = _time_rti(solve_batch, data, it, reps=5)
-    return dict(
-        solves_per_s=B / dt_s, batch=B, N=N,
-        status_ok=int(np.sum(np.asarray(stats.status) == 0)),
-        max_res_stat=float(np.max(np.asarray(stats.res_stat))),
-    )
+    variants = {
+        "plain": {},
+        "cond_N16": dict(opts_update=dict(cond_N=16)),
+        "parallel_riccati": dict(
+            qp_opts_update=dict(parallel_riccati=True)),
+    }
+    out = {}
+    for name, kw in variants.items():
+        solve_batch, data, init, ocp = _build_rti(
+            make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.02, B,
+            jnp.float32, N=N, Tf=1.0, dtype="float32",
+            nlp_solver_type="SQP_RTI", **kw)
+        it, stats = _steady_state_rti(solve_batch, data, init,
+                                      warm_reps=25)
+        dt_s = _time_rti(solve_batch, data, it, reps=5)
+        out[name] = dict(
+            solves_per_s=round(B / dt_s, 1), batch=B, N=N,
+            status_ok=int(np.sum(np.asarray(stats.status) == 0)),
+            max_res_stat=float(np.max(np.asarray(stats.res_stat))),
+        )
+    return out
 
 
 def main():

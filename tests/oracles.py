@@ -146,6 +146,7 @@ def kkt_residuals_qp(qp, sol):
     lam_d = mask_l * lam_l - mask_u * lam_u
 
     res_stat = 0.0
+    soft_comp = 0.0
     for k in range(N + 1):
         rx = Q[k] @ x[k] + qv[k] - C[k].T @ lam_d[k]
         if k < N:
@@ -158,20 +159,20 @@ def kkt_residuals_qp(qp, sol):
                   - D[k].T @ lam_d[k])
             res_stat = max(res_stat, np.abs(ru).max())
         # soft slack stationarity: zl + Zl*sl - lam_l - lam_sl = 0 with
-        # lam_sl >= 0 complementary to sl >= 0 -> at optimum:
-        # min(zl + Zl*sl - lam_l, 0) when sl == 0, else == 0.
+        # lam_sl >= 0 complementary to sl >= 0. Eliminating lam_sl =
+        # zl + Zl*sl - lam_l, the exact KKT conditions on (sl, lam_sl)
+        # are dual feasibility lam_sl >= 0 (-> stat) and complementarity
+        # lam_sl * sl = 0 (-> comp). An interior-point solution never has
+        # sl exactly 0, so a hard activity threshold would misclassify
+        # boundary rows; the comp product is the threshold-free measure.
         for i in range(lg.shape[1]):
             if smask[k, i] > 0:
                 gl = zl[k, i] + Zl[k, i] * sl[k, i] - lam_l[k, i]
-                if sl[k, i] > 1e-9:
-                    res_stat = max(res_stat, abs(gl))
-                else:
-                    res_stat = max(res_stat, max(0.0, -gl))
+                res_stat = max(res_stat, max(0.0, -gl))
+                soft_comp = max(soft_comp, abs(gl) * sl[k, i])
                 gu = zu[k, i] + Zu[k, i] * su[k, i] - lam_u[k, i]
-                if su[k, i] > 1e-9:
-                    res_stat = max(res_stat, abs(gu))
-                else:
-                    res_stat = max(res_stat, max(0.0, -gu))
+                res_stat = max(res_stat, max(0.0, -gu))
+                soft_comp = max(soft_comp, abs(gu) * su[k, i])
 
     res_eq = 0.0
     for k in range(N):
@@ -196,4 +197,5 @@ def kkt_residuals_qp(qp, sol):
             if mask_u[k, i] > 0:
                 res_comp = max(res_comp, abs(lam_u[k, i] * min(
                     ug[k, i] - gk[i] + smask[k, i] * su[k, i], 1e9)))
-    return dict(stat=res_stat, eq=res_eq, ineq=res_ineq, comp=res_comp)
+    return dict(stat=res_stat, eq=res_eq, ineq=res_ineq,
+                comp=max(res_comp, soft_comp))

@@ -1,0 +1,194 @@
+"""Condensing tests: condensed == uncondensed solution parity swept over N2.
+
+Mirrors the reference's QP-solver sweep over partial-condensing horizons
+(/root/reference/test/ocp_qp/test_qpsolvers.cpp:230, SECTION per N2) plus
+full-condensing parity, with KKT certification of the *expanded* solution in
+the original space (complete optimality certificate for convex QPs).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.dense_qp.data import DenseQp
+from acados_tpu.dense_qp.ipm import solve_dense_qp
+from acados_tpu.ocp_qp.condensing import partial_condense, partial_expand
+from acados_tpu.ocp_qp.full_condensing import full_condense, full_expand
+from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+from acados_tpu.ocp_qp.xcond import resolve_cond_N, solve_ocp_qp_xcond
+
+from oracles import kkt_residuals_qp
+from test_ocp_qp import random_ocp_qp
+
+OPTS = IpmOpts(iter_max=60)
+
+
+class TestPartialCondensing:
+    @pytest.mark.parametrize("N2", [1, 2, 4, 8])
+    def test_parity_sweep_hard(self, N2):
+        qp = random_ocp_qp(jax.random.PRNGKey(21), N=8, nx=4, nu=2, nc=3)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        sol, info = solve_ocp_qp_xcond(qp, OPTS, cond_N=N2)
+        assert int(info.status) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_ref.x),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_ref.u),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sol.pi),
+                                   np.asarray(sol_ref.pi), atol=2e-5)
+        res = kkt_residuals_qp(qp, sol)
+        assert max(res["stat"], res["eq"], res["ineq"], res["comp"]) < 1e-5
+
+    @pytest.mark.parametrize("N2", [2, 3, 6])
+    def test_parity_soft(self, N2):
+        qp = random_ocp_qp(jax.random.PRNGKey(33), N=6, nx=3, nu=2, nc=2,
+                           soft=True, seed_scale=5.0)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        sol, info = solve_ocp_qp_xcond(qp, OPTS, cond_N=N2)
+        assert int(info.status) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_ref.x),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_ref.u),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol.sl),
+                                   np.asarray(sol_ref.sl), atol=5e-6)
+        res = kkt_residuals_qp(qp, sol)
+        assert max(res["stat"], res["eq"], res["ineq"]) < 1e-5
+
+    def test_condensed_objective_matches(self):
+        """Condensing preserves the objective: evaluate both QPs at linked
+        points (random feasible-dynamics trajectory)."""
+        qp = random_ocp_qp(jax.random.PRNGKey(5), N=6, nx=3, nu=2, nc=2)
+        N2 = 2
+        qp_c, cache = partial_condense(qp, N2)
+        key = jax.random.PRNGKey(0)
+        u = jax.random.normal(key, qp.r.shape, qp.r.dtype)
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (qp.dims.nx,),
+                               qp.q.dtype)
+        # roll out dynamics so both objective evaluations see the same point
+        xs = [x0]
+        for k in range(qp.dims.N):
+            xs.append(qp.A[k] @ xs[-1] + qp.B[k] @ u[k] + qp.b[k])
+        x = jnp.stack(xs)
+
+        def obj(Q, R, S, q, r, x, u):
+            c = 0.5 * jnp.einsum("ka,kab,kb->", x, Q, x) + jnp.vdot(q, x)
+            c += 0.5 * jnp.einsum("ka,kab,kb->", u, R, u) + jnp.vdot(r, u)
+            c += jnp.einsum("ku,kux,kx->", u, S, x[:-1])
+            return c
+
+        M = qp.dims.N // N2
+        xb = jnp.concatenate([x[:-1:M], x[-1][None]])
+        ub = u.reshape(N2, M * qp.dims.nu)
+        c_orig = obj(qp.Q, qp.R, qp.S, qp.q, qp.r, x, u)
+        c_cond = obj(qp_c.Q, qp_c.R, qp_c.S, qp_c.q, qp_c.r, xb, ub)
+        # constant terms (gam'Q gam/2 + q'gam) are dropped in condensing;
+        # compare gradients instead: objective difference must be constant
+        # in the decision variables. Check with a second point.
+        u2 = u + 0.1
+        xs2 = [x0]
+        for k in range(qp.dims.N):
+            xs2.append(qp.A[k] @ xs2[-1] + qp.B[k] @ u2[k] + qp.b[k])
+        x2 = jnp.stack(xs2)
+        xb2 = jnp.concatenate([x2[:-1:M], x2[-1][None]])
+        ub2 = u2.reshape(N2, M * qp.dims.nu)
+        c_orig2 = obj(qp.Q, qp.R, qp.S, qp.q, qp.r, x2, u2)
+        c_cond2 = obj(qp_c.Q, qp_c.R, qp_c.S, qp_c.q, qp_c.r, xb2, ub2)
+        np.testing.assert_allclose(float(c_orig2 - c_orig),
+                                   float(c_cond2 - c_cond), rtol=1e-9)
+
+    def test_resolve_cond_N(self):
+        assert resolve_cond_N(20, 5) == 5
+        assert resolve_cond_N(20, 6) == 5
+        assert resolve_cond_N(20, 3) == 2
+        assert resolve_cond_N(20, 1) == 1
+        assert resolve_cond_N(20, None) is None
+        assert resolve_cond_N(20, 20) is None
+        assert resolve_cond_N(7, 3) == 1
+
+
+class TestFullCondensing:
+    def test_parity_hard(self):
+        qp = random_ocp_qp(jax.random.PRNGKey(77), N=8, nx=4, nu=2, nc=3)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        sol, info = solve_ocp_qp_xcond(qp, OPTS, full_cond=True)
+        assert int(info.status) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_ref.x),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_ref.u),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sol.pi),
+                                   np.asarray(sol_ref.pi), atol=2e-5)
+        res = kkt_residuals_qp(qp, sol)
+        assert max(res["stat"], res["eq"], res["ineq"], res["comp"]) < 1e-5
+
+    def test_parity_soft(self):
+        qp = random_ocp_qp(jax.random.PRNGKey(88), N=5, nx=3, nu=2, nc=2,
+                           soft=True, seed_scale=5.0)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        sol, info = solve_ocp_qp_xcond(qp, OPTS, full_cond=True)
+        assert int(info.status) == 0
+        np.testing.assert_allclose(np.asarray(sol.x), np.asarray(sol_ref.x),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol.u), np.asarray(sol_ref.u),
+                                   atol=5e-6)
+
+
+class TestDenseIpm:
+    def test_dense_qp_vs_scipy(self):
+        """Standalone dense IPM vs scipy SLSQP on a random box+general QP."""
+        from scipy.optimize import LinearConstraint, minimize
+
+        rng = np.random.default_rng(0)
+        nv, ng = 6, 8
+        Hs = rng.normal(size=(nv, nv)) * 0.4
+        H = Hs @ Hs.T + np.eye(nv)
+        h = rng.normal(size=nv)
+        G = rng.normal(size=(ng, nv))
+        lg = G @ np.zeros(nv) - rng.uniform(0.1, 1.0, ng)
+        ug = lg + rng.uniform(0.3, 2.0, ng)
+        ones = np.ones(ng)
+        qp = DenseQp(H=jnp.asarray(H), h=jnp.asarray(h), G=jnp.asarray(G),
+                     lg=jnp.asarray(lg), ug=jnp.asarray(ug),
+                     mask_l=jnp.asarray(ones), mask_u=jnp.asarray(ones),
+                     Zl=jnp.zeros(ng), Zu=jnp.zeros(ng),
+                     zl=jnp.zeros(ng), zu=jnp.zeros(ng),
+                     soft_mask=jnp.zeros(ng))
+        sol, info = solve_dense_qp(qp, OPTS)
+        assert int(info.status) == 0
+        res = minimize(lambda w: 0.5 * w @ H @ w + h @ w,
+                       np.zeros(nv), jac=lambda w: H @ w + h,
+                       method="SLSQP",
+                       constraints=[LinearConstraint(G, lg, ug)],
+                       options=dict(maxiter=500, ftol=1e-12))
+        np.testing.assert_allclose(np.asarray(sol.w), res.x, atol=5e-6)
+
+    def test_dense_batch_vmap(self):
+        rng = np.random.default_rng(3)
+        nv, ng, B = 4, 5, 3
+        qps = []
+        for _ in range(B):
+            Hs = rng.normal(size=(nv, nv)) * 0.4
+            H = Hs @ Hs.T + np.eye(nv)
+            h = rng.normal(size=nv)
+            G = rng.normal(size=(ng, nv))
+            lg = -rng.uniform(0.1, 1.0, ng)
+            ug = lg + rng.uniform(0.3, 2.0, ng)
+            ones = np.ones(ng)
+            qps.append(DenseQp(
+                H=jnp.asarray(H), h=jnp.asarray(h), G=jnp.asarray(G),
+                lg=jnp.asarray(lg), ug=jnp.asarray(ug),
+                mask_l=jnp.asarray(ones), mask_u=jnp.asarray(ones),
+                Zl=jnp.zeros(ng), Zu=jnp.zeros(ng), zl=jnp.zeros(ng),
+                zu=jnp.zeros(ng), soft_mask=jnp.zeros(ng)))
+        qb = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+        sol_b, _ = jax.vmap(lambda q: solve_dense_qp(q, OPTS))(qb)
+        for i, q in enumerate(qps):
+            sol_i, _ = solve_dense_qp(q, OPTS)
+            np.testing.assert_allclose(np.asarray(sol_b.w[i]),
+                                       np.asarray(sol_i.w), atol=1e-8)

@@ -217,3 +217,50 @@ class TestRtiPhases:
             xb = plant_b.simulate(x=xb, u=ub)
         assert np.abs(xa[1]) < 1e-2, xa
         np.testing.assert_allclose(xa, xb, atol=1e-6)
+
+
+class TestAsRti:
+    """AS-RTI levels A-D (reference ocp_nlp_sqp_rti.c:711-1139, levels
+    enum ocp_nlp_sqp_rti.h:70-77): closed-loop pendulum swing-up with the
+    *delayed* preparation pattern (prepare before the next measurement is
+    known) — the setting the advanced-step method exists for."""
+
+    @pytest.mark.parametrize("level,as_iter", [
+        ("A", 1), ("B", 2), ("C", 1), ("D", 2)])
+    def test_closed_loop_converges(self, level, as_iter):
+        ocp = make_ocp(nlp_solver_type="SQP_RTI")
+        ocp.solver_options.as_rti_level = level
+        ocp.solver_options.as_rti_iter = as_iter
+        ocp.solver_options.as_rti_advancement_strategy = "SIMULATE"
+        solver = AcadosOcpSolver(ocp)
+
+        sim = AcadosSim()
+        sim.model = export_pendulum_model()
+        sim.solver_options.T = 1.0 / 20
+        sim.solver_options.num_steps = 4
+        plant = AcadosSimSolver(sim)
+
+        x = np.array([0.0, np.pi, 0.0, 0.0])
+        fb_iters = []
+        for step in range(60):
+            # preparation BEFORE the new measurement (stale x0 guess in
+            # the problem data; AS levels advance it internally)
+            solver.options_set("rti_phase", 1)
+            assert solver.solve() == 0
+            # measurement arrives -> feedback
+            solver.set(0, "lbx", x)
+            solver.set(0, "ubx", x)
+            solver.options_set("rti_phase", 2)
+            assert solver.solve() == 0
+            fb_iters.append(solver.get_stats("qp_iter"))
+            x = plant.simulate(x=x, u=solver.get(0, "u"))
+        assert np.linalg.norm(x) < 0.5, (level, x)
+        # warm-started feedback must be cheap at steady state
+        assert fb_iters[-1] <= 12, fb_iters[-10:]
+
+    def test_int_level_encoding(self):
+        """Reference encodes levels as ints 0..4."""
+        ocp = make_ocp(nlp_solver_type="SQP_RTI")
+        ocp.solver_options.as_rti_level = 0  # LEVEL_A
+        solver = AcadosOcpSolver(ocp)
+        assert solver.opts.as_rti_level == "A"

@@ -1,0 +1,116 @@
+"""Options-surface tests: step_length, Anderson acceleration,
+store_iterates, qpscaling, string-keyed options_set, per-phase timing,
+print_level (VERDICT round-1 items 8/9/10 of 'what's missing')."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acados_tpu.interface.builder import build_ocp, data_to_jax
+from acados_tpu.interface.solver import AcadosOcpSolver
+from acados_tpu.models.pendulum import make_pendulum_ocp
+from acados_tpu.ocp_nlp.sqp import SqpOpts, init_iterate, make_sqp_solver
+
+
+def _setup(ocp=None):
+    ocp = ocp or make_pendulum_ocp(dtype="float64")
+    form, dnp, _ = build_ocp(ocp)
+    data = data_to_jax(dnp, jnp.float64)
+    x0 = np.array([0.0, np.pi, 0.0, 0.0])
+    init = init_iterate(form, jnp.float64,
+                        x_traj=np.tile(x0, (form.N + 1, 1)))
+    return form, data, init
+
+
+class TestStepOptions:
+    def test_step_length(self):
+        """Damped fixed step still converges, more slowly."""
+        form, data, init = _setup()
+        _, st1 = make_sqp_solver(form, SqpOpts(max_iter=80))(data, init)
+        _, st2 = make_sqp_solver(
+            form, SqpOpts(max_iter=80, step_length=0.5))(data, init)
+        assert int(st1.status) == 0 and int(st2.status) == 0
+        assert int(st2.sqp_iter) > int(st1.sqp_iter)
+
+    def test_anderson_acceleration(self):
+        """Anderson(1) fixed-step converges to the same KKT point
+        (reference globalization_fixed_step.c:174-215)."""
+        form, data, init = _setup()
+        it1, st1 = make_sqp_solver(form, SqpOpts(max_iter=80))(data, init)
+        it2, st2 = make_sqp_solver(
+            form, SqpOpts(max_iter=80,
+                          with_anderson_acceleration=True))(data, init)
+        assert int(st2.status) == 0
+        np.testing.assert_allclose(np.asarray(it2.x), np.asarray(it1.x),
+                                   atol=1e-5)
+
+    def test_store_iterates(self):
+        form, data, init = _setup()
+        it, st = make_sqp_solver(
+            form, SqpOpts(max_iter=50, store_iterates=True))(data, init)
+        n = int(st.sqp_iter)
+        np.testing.assert_allclose(np.asarray(st.iterates_x[0]),
+                                   np.asarray(init.x))
+        np.testing.assert_allclose(np.asarray(st.iterates_x[n]),
+                                   np.asarray(it.x), atol=1e-12)
+
+
+class TestQpScaling:
+    def test_badly_scaled_cost(self):
+        """Gershgorin objective scaling recovers the unscaled solution on
+        a 1e8-weighted cost (reference ocp_nlp_qpscaling.c:476)."""
+        ocp = make_pendulum_ocp(dtype="float64")
+        ocp.cost.W = np.array(ocp.cost.W) * 1e8
+        ocp.cost.W_e = np.array(ocp.cost.W_e) * 1e8
+        form, data, init = _setup(ocp)
+        it2, st2 = make_sqp_solver(
+            form, SqpOpts(max_iter=50, tol_stat=1e-2,
+                          qpscaling="OBJECTIVE_GERSHGORIN"))(data, init)
+        # reference solution of the well-scaled problem
+        form0, data0, init0 = _setup()
+        it0, st0 = make_sqp_solver(form0, SqpOpts(max_iter=50))(data0,
+                                                                init0)
+        np.testing.assert_allclose(np.asarray(it2.x), np.asarray(it0.x),
+                                   atol=1e-6)
+
+    def test_noop_on_well_scaled(self):
+        form, data, init = _setup()
+        it1, st1 = make_sqp_solver(form, SqpOpts(max_iter=50))(data, init)
+        it2, st2 = make_sqp_solver(
+            form, SqpOpts(max_iter=50,
+                          qpscaling="OBJECTIVE_GERSHGORIN"))(data, init)
+        assert int(st2.status) == 0
+        np.testing.assert_allclose(np.asarray(it2.x), np.asarray(it1.x),
+                                   atol=1e-7)
+
+
+class TestInterfaceOptions:
+    def test_string_keyed_options_set(self):
+        ocp = make_pendulum_ocp(dtype="float64")
+        s = AcadosOcpSolver(ocp)
+        # direct SqpOpts fields
+        s.options_set("step_length", 0.9)
+        assert s.opts.step_length == 0.9
+        s.options_set("with_anderson_acceleration", True)
+        assert s.opts.with_anderson_acceleration
+        # AcadosOcpOptions fallback path
+        s.options_set("qpscaling_scale_objective", "OBJECTIVE_GERSHGORIN")
+        assert s.opts.qpscaling == "OBJECTIVE_GERSHGORIN"
+        with pytest.raises(ValueError):
+            s.options_set("definitely_not_an_option", 1)
+
+    def test_get_iterates_via_interface(self):
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        ocp.solver_options.store_iterates = True
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        its = s.get_iterates()
+        assert its["x"].shape[0] == s.get_stats("sqp_iter") + 1
+
+    def test_phase_times_finite(self):
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        for f in ("time_lin", "time_qp", "time_sim", "time_reg",
+                  "time_glob"):
+            assert np.isfinite(s.get_stats(f))
