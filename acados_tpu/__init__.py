@@ -15,16 +15,25 @@ from acados_tpu.interface.acados_ocp import (AcadosModel, AcadosOcp,
                                              AcadosOcpCost, AcadosOcpDims,
                                              AcadosOcpOptions)
 from acados_tpu.interface.batch_solver import AcadosOcpBatchSolver
+from acados_tpu.interface.iterate import (AcadosOcpFlattenedBatchIterate,
+                                          AcadosOcpFlattenedIterate,
+                                          AcadosOcpIterate)
+from acados_tpu.interface.multiphase import AcadosMultiphaseOcp
+from acados_tpu.interface.scipy_solver import AcadosScipyOcpSolver
 from acados_tpu.interface.sim_solver import (AcadosSim, AcadosSimOpts,
                                              AcadosSimSolver)
 from acados_tpu.interface.solver import AcadosOcpSolver
+from acados_tpu.interface.zoro import ZoroDescription
 from acados_tpu.utils.types import ACADOS_INFTY, AcadosStatus
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "AcadosModel", "AcadosOcp", "AcadosOcpConstraints", "AcadosOcpCost",
     "AcadosOcpDims", "AcadosOcpOptions", "AcadosOcpSolver",
-    "AcadosOcpBatchSolver", "AcadosSim", "AcadosSimOpts", "AcadosSimSolver",
+    "AcadosOcpBatchSolver", "AcadosMultiphaseOcp", "AcadosScipyOcpSolver",
+    "AcadosOcpIterate", "AcadosOcpFlattenedIterate",
+    "AcadosOcpFlattenedBatchIterate", "ZoroDescription",
+    "AcadosSim", "AcadosSimOpts", "AcadosSimSolver",
     "ACADOS_INFTY", "AcadosStatus",
 ]

@@ -216,6 +216,16 @@ class AcadosOcpOptions:
     reg_epsilon: float = 1e-4
     globalization_alpha_min: float = 0.05
     globalization_alpha_reduction: float = 0.7
+    globalization_line_search_use_sufficient_descent: bool = False
+    globalization_eps_sufficient_descent: float = 1e-4
+    globalization_use_SOC: bool = False
+    # funnel method (reference globalization_funnel.c defaults)
+    globalization_funnel_init_increase_factor: float = 15.0
+    globalization_funnel_init_upper_bound: float = 1.0
+    globalization_funnel_sufficient_decrease_factor: float = 0.9
+    globalization_funnel_kappa: float = 0.9
+    globalization_funnel_fraction_switching_condition: float = 1e-3
+    globalization_funnel_initial_penalty_parameter: float = 1.0
     sim_method_num_stages: int = 4
     sim_method_num_steps: int = 1
     sim_method_newton_iter: int = 3
@@ -276,3 +286,6 @@ class AcadosOcp:
     solver_options: AcadosOcpOptions = dataclasses.field(
         default_factory=AcadosOcpOptions)
     parameter_values: Optional[np.ndarray] = None
+    # zoRO custom update description (reference ocp.zoro_description,
+    # zoro_description.py:42-103); see interface/zoro.py
+    zoro_description: object = None

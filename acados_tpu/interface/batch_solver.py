@@ -135,12 +135,93 @@ class AcadosOcpBatchSolver:
     def get_flat(self, field: str):
         if field in ("x", "u", "pi", "sl", "su"):
             return self._iterate[field].reshape(self.N_batch, -1).copy()
+        if field == "lam":
+            return np.concatenate([self._iterate["lam_l"],
+                                   self._iterate["lam_u"]],
+                                  axis=2).reshape(self.N_batch, -1)
         raise ValueError(field)
 
     def set_flat(self, field: str, value):
+        if field == "lam":
+            nc = self._iterate["lam_l"].shape[2]
+            lam = np.asarray(value, np.float64).reshape(
+                self.N_batch, -1, 2 * nc)
+            self._iterate["lam_l"] = lam[:, :, :nc].copy()
+            self._iterate["lam_u"] = lam[:, :, nc:].copy()
+            return
         tgt = self._iterate[field]
         self._iterate[field] = np.asarray(value, np.float64).reshape(
             tgt.shape)
+
+    def store_iterate_to_flat_obj(self):
+        """Reference: AcadosOcpFlattenedBatchIterate."""
+        from acados_tpu.interface.iterate import \
+            AcadosOcpFlattenedBatchIterate
+        return AcadosOcpFlattenedBatchIterate(
+            x=self.get_flat("x"), u=self.get_flat("u"),
+            pi=self.get_flat("pi"), lam=self.get_flat("lam"),
+            sl=self.get_flat("sl"), su=self.get_flat("su"),
+            N_batch=self.N_batch)
+
+    def load_iterate_from_flat_obj(self, flat):
+        for f in ("x", "u", "pi", "lam", "sl", "su"):
+            self.set_flat(f, getattr(flat, f))
+
+    def eval_solution_sensitivity(self, stages, with_respect_to,
+                                  return_sens_x=True,
+                                  return_sens_u=True,
+                                  sanity_checks=True):
+        """Batched forward solution sensitivities (reference
+        acados_ocp_batch_solver.py:342): one program vmapped over
+        (batch x seed directions).
+
+        Returns arrays with shape (B, len(stages), dim, n_seeds)."""
+        del sanity_checks
+        from acados_tpu.ocp_nlp.sensitivity import (KktFactor, SensOpts,
+                                                    forward_sensitivity)
+        if isinstance(stages, int):
+            stages = [stages]
+        form = self.form
+        data = data_to_jax(self._data, self.dtype)
+        init = NlpIterate(**{k: jnp.asarray(v, self.dtype)
+                             for k, v in self._iterate.items()})
+        zero1 = jax.tree.map(
+            lambda a: jnp.zeros_like(a[0]), data)
+        if with_respect_to in ("params_global", "p_global", "p"):
+            n_wrt = self.form.np_
+            def seed(i):
+                p = jnp.zeros_like(zero1.p).at[:, i].set(1.0)
+                return zero1.replace(p=p)
+        elif with_respect_to == "initial_state":
+            lay = self._layout(0)
+            n_wrt = lay.nbx
+            def seed(i):
+                e = jnp.zeros_like(zero1.lb_0).at[lay.off_bx + i].set(1.0)
+                return zero1.replace(lb_0=e, ub_0=e)
+        else:
+            raise ValueError(with_respect_to)
+        seeds = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[seed(i) for i in range(n_wrt)])
+
+        def one(data1, it1):
+            kf = KktFactor(form, SensOpts(), data1, it1)
+            dx, du, _, _, _ = jax.vmap(
+                lambda d: forward_sensitivity(kf, d))(seeds)
+            return dx, du
+
+        dxs, dus = jax.jit(jax.vmap(one))(data, init)
+        dxs = np.moveaxis(np.asarray(dxs), 1, -1)  # (B, N+1, nx, n_wrt)
+        dus = np.moveaxis(np.asarray(dus), 1, -1)
+        sens_x = np.stack([dxs[:, s] for s in stages], axis=1)
+        sens_u = np.stack(
+            [dus[:, s] if s < self.N
+             else np.zeros_like(dus[:, 0]) for s in stages], axis=1)
+        out = []
+        if return_sens_x:
+            out.append(sens_x)
+        if return_sens_u:
+            out.append(sens_u)
+        return tuple(out) if len(out) > 1 else out[0]
 
     def eval_adjoint_solution_sensitivity(self, seed_x, seed_u,
                                           with_respect_to="params_global",

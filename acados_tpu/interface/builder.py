@@ -83,7 +83,10 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
             Vx = c.Vx_0 if c.Vx_0 is not None else c.Vx
             Vu = c.Vu_0 if c.Vu_0 is not None else c.Vu
             y, ny = _linear_ls_yfun(Vx, Vu)
-            return CostSpec(kind=kind, ny=ny, y_fun=y)
+            return CostSpec(kind=kind, ny=ny, y_fun=y,
+                            Vx=np.asarray(Vx, np.float64),
+                            Vu=None if Vu is None
+                            else np.asarray(Vu, np.float64))
         if kind == "NONLINEAR_LS":
             f = _norm4(m.cost_y_expr_0 or m.cost_y_expr)
             yref = c.yref_0 if c.yref_0 is not None else c.yref
@@ -101,7 +104,10 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
         kind = c.cost_type
         if kind == "LINEAR_LS":
             y, ny = _linear_ls_yfun(c.Vx, c.Vu)
-            return CostSpec(kind=kind, ny=ny, y_fun=y)
+            return CostSpec(kind=kind, ny=ny, y_fun=y,
+                            Vx=np.asarray(c.Vx, np.float64),
+                            Vu=None if c.Vu is None
+                            else np.asarray(c.Vu, np.float64))
         if kind == "NONLINEAR_LS":
             return CostSpec(kind=kind, ny=_dim_of(c.yref),
                             y_fun=_norm4(m.cost_y_expr))
@@ -121,7 +127,8 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
                                 ext_fun=lambda x, u, p, t: jnp.zeros(
                                     (), x.dtype))
             y, ny = _linear_ls_yfun(c.Vx_e, None)
-            return CostSpec(kind="LINEAR_LS", ny=ny, y_fun=y)
+            return CostSpec(kind="LINEAR_LS", ny=ny, y_fun=y,
+                            Vx=np.asarray(c.Vx_e, np.float64))
         if kind == "NONLINEAR_LS":
             return CostSpec(kind=kind, ny=_dim_of(c.yref_e),
                             y_fun=_norm_term(m.cost_y_expr_e))

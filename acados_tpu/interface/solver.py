@@ -58,6 +58,21 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
                        if so.nlp_solver_type != "SQP_RTI" else "FIXED_STEP"),
         alpha_min=so.globalization_alpha_min,
         alpha_reduction=so.globalization_alpha_reduction,
+        line_search_use_sufficient_descent=(
+            so.globalization_line_search_use_sufficient_descent),
+        eps_sufficient_descent=so.globalization_eps_sufficient_descent,
+        globalization_use_SOC=so.globalization_use_SOC,
+        funnel_initialization_increase_factor=(
+            so.globalization_funnel_init_increase_factor),
+        funnel_initialization_upper_bound=(
+            so.globalization_funnel_init_upper_bound),
+        funnel_sufficient_decrease_factor=(
+            so.globalization_funnel_sufficient_decrease_factor),
+        funnel_kappa=so.globalization_funnel_kappa,
+        funnel_fraction_switching_condition=(
+            so.globalization_funnel_fraction_switching_condition),
+        funnel_initial_penalty_parameter=(
+            so.globalization_funnel_initial_penalty_parameter),
         cond_N=_resolve_cond(ocp), full_cond=_is_full_cond(so),
         as_rti_level=_as_rti_level_str(so.as_rti_level),
         as_rti_iter=so.as_rti_iter,
@@ -683,6 +698,22 @@ class AcadosOcpSolver:
         }
         return self._phase_cache
 
+    def custom_update(self, data=None):
+        """Custom-update hook between solver calls (reference
+        AcadosOcpSolver.custom_update + custom_update_templates/): with a
+        ZoroDescription attached, runs the zoRO covariance propagation +
+        bound tightening (interface/zoro.py); otherwise `data` may be a
+        callable(solver) implementing an arbitrary update."""
+        if self.acados_ocp.zoro_description is not None:
+            from acados_tpu.interface.zoro import zoro_custom_update
+            zoro_custom_update(self)
+            return 0
+        if callable(data):
+            data(self)
+            return 0
+        raise ValueError("custom_update: attach ocp.zoro_description or "
+                         "pass a callable(solver)")
+
     def get_iterates(self):
         """Per-iteration primal trajectories when store_iterates is on
         (reference AcadosOcpSolver.get_iterates / mem->iterates).
@@ -714,6 +745,49 @@ class AcadosOcpSolver:
         for k in self._iterate:
             self._iterate[k] = np.asarray(obj[k], np.float64).copy()
         self._default_init = False
+
+    def get_flat(self, field: str) -> np.ndarray:
+        """Flat all-stage value of one iterate field (reference
+        ocp_nlp_get_all, ocp_nlp_interface.c:1914). Fields: x, u, pi,
+        lam (per stage [lam_l, lam_u] over the unified rows), sl, su."""
+        it = self._iterate
+        if field in ("x", "u", "pi", "sl", "su"):
+            return it[field].reshape(-1).copy()
+        if field == "lam":
+            return np.concatenate([it["lam_l"], it["lam_u"]],
+                                  axis=1).reshape(-1)
+        raise ValueError(f"get_flat: unknown field {field!r}")
+
+    def set_flat(self, field: str, value):
+        """Inverse of get_flat (reference ocp_nlp_set_all,
+        ocp_nlp_interface.c:2018)."""
+        it = self._iterate
+        value = np.asarray(value, np.float64)
+        if field in ("x", "u", "pi", "sl", "su"):
+            it[field] = value.reshape(it[field].shape).copy()
+        elif field == "lam":
+            nc = it["lam_l"].shape[1]
+            lam = value.reshape(-1, 2 * nc)
+            it["lam_l"] = lam[:, :nc].copy()
+            it["lam_u"] = lam[:, nc:].copy()
+        else:
+            raise ValueError(f"set_flat: unknown field {field!r}")
+        self._default_init = False
+
+    def store_iterate_to_flat_obj(self):
+        """Reference: store_iterate_to_flat_obj ->
+        AcadosOcpFlattenedIterate."""
+        from acados_tpu.interface.iterate import AcadosOcpFlattenedIterate
+        return AcadosOcpFlattenedIterate(
+            x=self.get_flat("x"), u=self.get_flat("u"),
+            pi=self.get_flat("pi"), lam=self.get_flat("lam"),
+            sl=self.get_flat("sl"), su=self.get_flat("su"))
+
+    def load_iterate_from_flat_obj(self, flat):
+        """Reference: load_iterate_from_flat_obj (warm-start transfer
+        between solvers of the same formulation)."""
+        for f in ("x", "u", "pi", "lam", "sl", "su"):
+            self.set_flat(f, getattr(flat, f))
 
     def store_iterate(self, filename: str, overwrite=True, verbose=False):
         """Reference: store_iterate -> json file."""

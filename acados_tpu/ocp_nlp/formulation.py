@@ -60,6 +60,12 @@ class CostSpec:
     y_fun: Optional[Callable] = None
     psi_fun: Optional[Callable] = None
     ext_fun: Optional[Callable] = None
+    # LINEAR_LS constant Jacobian blocks (numpy); when set, quad_approx
+    # skips the AD pass entirely (the reference precomputes V'WV once,
+    # ocp_nlp_cost_ls.c:854 — here W may change at runtime via cost_set,
+    # so the product stays in the trace but the Jacobian is a constant)
+    Vx: Optional[np.ndarray] = None
+    Vu: Optional[np.ndarray] = None
 
     def value(self, x, u, p, t, data) -> jnp.ndarray:
         """Stage cost value (excluding slack penalties)."""
@@ -83,6 +89,14 @@ class CostSpec:
             return w[:nx], w[nx:]
 
         w = jnp.concatenate([x, u])
+        if self.kind == "LINEAR_LS" and self.Vx is not None:
+            Vx = jnp.asarray(self.Vx, w.dtype)
+            Vu = (jnp.zeros((Vx.shape[0], nu), w.dtype)
+                  if self.Vu is None else jnp.asarray(self.Vu, w.dtype))
+            J = jnp.concatenate([Vx, Vu], axis=1)
+            r = Vx @ x + Vu @ u - data["yref"]
+            Wr = data["W"] @ r
+            return J.T @ data["W"] @ J, J.T @ Wr
         if self.kind in ("LINEAR_LS", "NONLINEAR_LS"):
             yf = lambda w_: self.y_fun(*split(w_), p, t)
             y = yf(w)

@@ -51,13 +51,36 @@ class SqpOpts:
     tol_ineq: float = 1e-6
     tol_comp: float = 1e-6
     tol_min_step_norm: float = 1e-12
+    # unboundedness detection (reference tol_unbounded,
+    # ocp_nlp_common.c:1285, check ocp_nlp_sqp.c:411-417)
+    tol_unbounded: float = -1e10
     levenberg_marquardt: float = 0.0
     regularize_method: str = static_field(default="NO_REGULARIZE")
     reg_epsilon: float = 1e-4  # reference default (acados_ocp_options.py)
     globalization: str = static_field(default="FIXED_STEP")
+    # FIXED_STEP | MERIT_BACKTRACKING | FUNNEL_L1PEN_LINESEARCH
+    # (reference ocp_nlp_globalization_* modules)
     alpha_min: float = 0.05
     alpha_reduction: float = 0.7
     full_step_dual: bool = static_field(default=False)
+    # Armijo sufficient-descent test in the merit line search (reference
+    # globalization_opts line_search_use_sufficient_descent +
+    # eps_sufficient_descent, globalization_merit_backtracking.c:336-353)
+    line_search_use_sufficient_descent: bool = static_field(default=False)
+    eps_sufficient_descent: float = 1e-4
+    # second-order correction on a rejected full step (reference
+    # globalization_use_SOC; ocp_nlp_perform_second_order_correction,
+    # ocp_nlp_common.c:4227 — Nocedal2006 eq. 18.51-18.56)
+    globalization_use_SOC: bool = static_field(default=False)
+    # funnel method parameters (reference globalization_funnel.c:73-96)
+    funnel_initialization_increase_factor: float = 15.0
+    funnel_initialization_upper_bound: float = 1.0
+    funnel_sufficient_decrease_factor: float = 0.9
+    funnel_kappa: float = 0.9
+    funnel_fraction_switching_condition: float = 1e-3
+    funnel_initial_penalty_parameter: float = 1.0
+    funnel_penalty_contraction: float = 0.5
+    funnel_penalty_eta: float = 1e-6
     rti: bool = static_field(default=False)
     # SQP_RTI semantics: one iteration, success unless NaN/QP failure
     # (reference ocp_nlp_sqp_rti.c never checks NLP convergence).
@@ -90,6 +113,10 @@ class SqpOpts:
     # QP scaling (reference ocp_nlp_qpscaling.c; modes mirror
     # qpscaling_scale_objective_type): NO_SCALING | OBJECTIVE_GERSHGORIN
     qpscaling: str = static_field(default="NO_SCALING")
+    # QP backend by registry name (ocp_qp/registry.py; reference
+    # qp_solver plan enum — RICCATI_IPM is the HPIPM analog, ADMM the
+    # OSQP-class first-order fallback)
+    qp_solver_name: str = static_field(default="RICCATI_IPM")
     qp_opts: IpmOpts = None
 
     def __post_init__(self):
@@ -163,6 +190,16 @@ def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
     return res_stat, res_eq, res_ineq, res_comp
 
 
+def _l1_infeasibility(form, data, soft_mask, x, u, sl, su, lb_all, ub_all):
+    """Unweighted l1 infeasibility: |dynamics gaps|_1 + bound violations
+    (reference ocp_nlp_get_l1_infeasibility)."""
+    gap = eval_dyn_gap(form, data, x, u)
+    g = eval_constraints(form, data, x, u)
+    viol_l = jnp.maximum(lb_all - g - soft_mask * sl, 0.0)
+    viol_u = jnp.maximum(g - ub_all - soft_mask * su, 0.0)
+    return jnp.sum(jnp.abs(gap)) + jnp.sum(viol_l + viol_u)
+
+
 def _merit(form, data, soft_mask, x, u, sl, su, w_pi, w_lam, lb_all, ub_all):
     """l1 merit: objective + multiplier-weighted infeasibilities
     (reference merit_fun in globalization_merit_backtracking.c)."""
@@ -173,6 +210,120 @@ def _merit(form, data, soft_mask, x, u, sl, su, w_pi, w_lam, lb_all, ub_all):
     viol_u = jnp.maximum(g - ub_all - soft_mask * su, 0.0)
     return (cost + jnp.sum(w_pi * jnp.abs(gap))
             + jnp.sum(w_lam * (viol_l + viol_u)))
+
+
+def _merit_gradient(form, qp, sol, it, w_pi, w_lam, lb_all, ub_all,
+                    soft_mask, data):
+    """Directional derivative of the l1 merit along the QP step
+    (reference ocp_nlp_compute_merit_gradient,
+    globalization_merit_backtracking.c:140-280)."""
+    # objective part: cost gradient . step
+    g_cost = jnp.sum(qp.q * sol.x) + jnp.sum(qp.r * sol.u)
+    # dynamics part: w_pi * sign(gap) * d(lin gap)
+    dgap = (jnp.einsum("kij,kj->ki", qp.A, sol.x[:-1])
+            + jnp.einsum("kij,kj->ki", qp.B, sol.u) - sol.x[1:])
+    gap = eval_dyn_gap(form, data, it.x, it.u)
+    g_dyn = jnp.sum(w_pi * jnp.sign(gap) * dgap)
+    # inequality part: active (violated) rows only
+    g = eval_constraints(form, data, it.x, it.u)
+    drow = jnp.einsum("kij,kj->ki", qp.C, sol.x)
+    drow = drow.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, sol.u))
+    dsl = sol.sl - it.sl
+    dsu = sol.su - it.su
+    act_l = (lb_all - g - soft_mask * it.sl) > 0
+    act_u = (g - ub_all - soft_mask * it.su) > 0
+    g_ineq = (jnp.sum(jnp.where(act_l, w_lam * (-drow
+                                                - soft_mask * dsl), 0.0))
+              + jnp.sum(jnp.where(act_u, w_lam * (drow
+                                                  - soft_mask * dsu),
+                                  0.0)))
+    return g_cost + g_dyn + g_ineq
+
+
+def _funnel_search(form, opts, data, soft_mask, lb_all, ub_all, qp, it,
+                   sol, gstate, dtype):
+    """Funnel l1-penalty line search (reference globalization_funnel.c:
+    backtracking_line_search + is_trial_iterate_acceptable_to_funnel).
+
+    gstate = (funnel_width, penalty_parameter, penalty_mode).
+    Returns (alpha, new gstate).
+    """
+    fw, pen, pmode = gstate
+    eps_sd = jnp.asarray(opts.eps_sufficient_descent, dtype)
+    eta = jnp.asarray(opts.funnel_penalty_eta, dtype)
+
+    cur_inf = _l1_infeasibility(form, data, soft_mask, it.x, it.u, it.sl,
+                                it.su, lb_all, ub_all)
+    cur_cost = eval_cost(form, data, it.x, it.u, it.sl, it.su, soft_mask)
+    # predicted reductions (ocp_nlp_sqp.c:757-758): the QP removes the
+    # whole linearized infeasibility; objective via grad . step
+    pred_inf = cur_inf
+    pred_obj = -(jnp.sum(qp.q * sol.x) + jnp.sum(qp.r * sol.u))
+    pred_obj = jnp.where((pred_obj < 0) & (pred_obj > -1e-4), 0.0,
+                         pred_obj)
+    # penalty parameter update (update_funnel_penalty_parameter)
+    shrink = pen * pred_obj + pred_inf < eta * pred_inf
+    pen_new = jnp.maximum(0.0, jnp.minimum(
+        opts.funnel_penalty_contraction * pen,
+        (1.0 - eta) * pred_inf / (-pred_obj + 1e-9)))
+    pen = jnp.where(shrink, pen_new, pen)
+    cur_merit = pen * cur_cost + cur_inf
+    pred_merit = pen * pred_obj + pred_inf
+
+    def classify(alpha):
+        xt = it.x + alpha * sol.x
+        ut = it.u + alpha * sol.u
+        slt = it.sl + alpha * (sol.sl - it.sl)
+        sut = it.su + alpha * (sol.su - it.su)
+        t_inf = _l1_infeasibility(form, data, soft_mask, xt, ut, slt,
+                                  sut, lb_all, ub_all)
+        t_cost = eval_cost(form, data, xt, ut, slt, sut, soft_mask)
+        inside = t_inf <= fw
+        switching = (alpha * pred_obj
+                     >= opts.funnel_fraction_switching_condition
+                     * pred_inf)
+        armijo_obj = (cur_cost - t_cost
+                      >= eps_sd * alpha
+                      * jnp.maximum(0.0, pred_obj - 1e-9))
+        h_ok = t_inf <= opts.funnel_sufficient_decrease_factor * fw
+        t_merit = pen * t_cost + t_inf
+        armijo_merit = (cur_merit - t_merit
+                        >= eps_sd * alpha
+                        * jnp.maximum(0.0, pred_merit - 1e-9))
+        f_type = (~pmode) & inside & switching & armijo_obj
+        h_type = (~pmode) & inside & (~switching) & h_ok
+        b_type = ((~pmode) & inside & (~switching) & (~h_ok)
+                  & (t_inf < cur_inf) & armijo_merit)
+        p_type = pmode & inside & armijo_merit
+        ok = f_type | h_type | b_type | p_type
+        finite = jnp.isfinite(t_cost) & jnp.isfinite(t_inf)
+        return ok & finite, h_type, b_type, p_type, h_ok, t_inf
+
+    def ls_cond(ls):
+        alpha, accepted = ls[0], ls[1]
+        return jnp.logical_and(jnp.logical_not(accepted),
+                               alpha > opts.alpha_min)
+
+    def ls_body(ls):
+        alpha = ls[0]
+        ok, h_t, b_t, p_t, h_ok, t_inf = classify(alpha)
+        alpha_next = jnp.where(ok, alpha, alpha * opts.alpha_reduction)
+        return (alpha_next, ok, h_t, b_t, p_t, h_ok, t_inf)
+
+    f0 = jnp.asarray(False)
+    z0 = jnp.asarray(0.0, dtype)
+    alpha, ok, h_t, b_t, p_t, h_ok, t_inf = jax.lax.while_loop(
+        ls_cond, ls_body,
+        (jnp.asarray(1.0, dtype), f0, f0, f0, f0, f0, z0))
+
+    # funnel / mode updates for the accepted step
+    do_decrease = ok & (h_t | (p_t & h_ok))
+    fw = jnp.where(do_decrease,
+                   (1.0 - opts.funnel_kappa) * t_inf
+                   + opts.funnel_kappa * fw, fw)
+    pmode = jnp.where(ok & b_t, True,
+                      jnp.where(ok & p_t & h_ok, False, pmode))
+    return alpha, (fw, pen, pmode)
 
 
 def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
@@ -201,6 +352,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         elif opts.cond_N is not None:
             sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
                                            cond_N=opts.cond_N, warm=warm)
+        elif opts.qp_solver_name != "RICCATI_IPM":
+            from acados_tpu.ocp_qp.registry import get_qp_backend
+            sol, info = get_qp_backend(opts.qp_solver_name)(
+                qp, opts.qp_opts, warm=warm)
         else:
             sol, info = solve_ocp_qp(qp, opts.qp_opts, warm=warm)
         if scales is not None:
@@ -234,7 +389,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                    jnp.logical_not(carry[3]))
 
         def body(carry):
-            it, k, status, _, qp_tot, stat, aa, hist = carry
+            it, k, status, _, qp_tot, stat, aa, hist, gstate = carry
             qp = linearize(form, static_rows, data, it, lm)
             rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
             stat = stat.at[k, 0].set(rs).at[k, 1].set(re) \
@@ -242,6 +397,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
 
             converged = ((rs < opts.tol_stat) & (re < opts.tol_eq)
                          & (ri < opts.tol_ineq) & (rc < opts.tol_comp))
+            # unbounded-objective detection (ocp_nlp_sqp.c:411-417)
+            cost_k = eval_cost(form, data, it.x, it.u, it.sl, it.su,
+                               soft_scaled)
+            unbounded = cost_k <= opts.tol_unbounded
 
             # Hessian regularization before the QP (reference hook:
             # regularize->regularize, ocp_nlp_sqp.c:602); the NLP residuals
@@ -258,15 +417,71 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             stat = stat.at[k, 4].set(info.status.astype(dtype)) \
                        .at[k, 5].set(info.num_iter.astype(dtype))
 
+            sol_used = sol
             if opts.globalization == "FIXED_STEP":
                 alpha = jnp.asarray(opts.step_length, dtype)
-            else:
+            elif opts.globalization == "FUNNEL_L1PEN_LINESEARCH":
+                alpha, gstate = _funnel_search(
+                    form, opts, data, soft_scaled, lb_m, ub_m, qp, it,
+                    sol, gstate, dtype)
+            else:  # MERIT_BACKTRACKING
                 w_pi = jnp.maximum(jnp.abs(it.pi), jnp.abs(sol.pi)) + 1e-4
                 w_lam = (jnp.maximum(jnp.maximum(it.lam_l, sol.lam_lg),
                                      jnp.maximum(it.lam_u, sol.lam_ug))
                          + 1e-4) * static_rows["mask"]
                 merit0 = _merit(form, data, soft_scaled, it.x, it.u,
                                 it.sl, it.su, w_pi, w_lam, lb_m, ub_m)
+                if opts.line_search_use_sufficient_descent:
+                    dmerit = _merit_gradient(form, qp, sol, it, w_pi,
+                                             w_lam, lb_m, ub_m,
+                                             soft_scaled, data)
+                    dmerit = jnp.minimum(dmerit, 0.0)
+                else:
+                    dmerit = jnp.asarray(0.0, dtype)
+                eps_sd = jnp.asarray(opts.eps_sufficient_descent, dtype)
+
+                def trial_merit(s, alpha):
+                    xt = it.x + alpha * s.x
+                    ut = it.u + alpha * s.u
+                    slt = it.sl + alpha * (s.sl - it.sl)
+                    sut = it.su + alpha * (s.su - it.su)
+                    return _merit(form, data, soft_scaled, xt, ut, slt,
+                                  sut, w_pi, w_lam, lb_m, ub_m)
+
+                m1 = trial_merit(sol, jnp.asarray(1.0, dtype))
+                full_ok = m1 < merit0 + eps_sd * dmerit
+
+                if opts.globalization_use_SOC:
+                    # second-order correction of the QP rhs at the
+                    # rejected full step (ocp_nlp_common.c:4227)
+                    x_t = it.x + sol.x
+                    u_t = it.u + sol.u
+                    gap_t = eval_dyn_gap(form, data, x_t, u_t)
+                    dgap_lin = (jnp.einsum("kij,kj->ki", qp.A,
+                                           sol.x[:-1])
+                                + jnp.einsum("kij,kj->ki", qp.B, sol.u)
+                                - sol.x[1:])
+                    g_t = eval_constraints(form, data, x_t, u_t)
+                    g_cur = eval_constraints(form, data, it.x, it.u)
+                    drow = jnp.einsum("kij,kj->ki", qp.C, sol.x)
+                    drow = drow.at[:-1].add(
+                        jnp.einsum("kij,kj->ki", qp.D, sol.u))
+                    delta2 = g_t - g_cur - drow
+                    qp_soc = qp.replace(b=gap_t - dgap_lin,
+                                        lg=qp.lg - delta2,
+                                        ug=qp.ug - delta2)
+                    sol_soc, info_soc = solve_qp(qp_soc)
+                    qp_tot = qp_tot + info_soc.num_iter
+                    m_soc = trial_merit(sol_soc,
+                                        jnp.asarray(1.0, dtype))
+                    soc_ok = jnp.logical_and(
+                        jnp.logical_not(full_ok),
+                        m_soc < merit0 + eps_sd * dmerit)
+                    sol_used = jax.tree.map(
+                        lambda a, b: jnp.where(soc_ok, a, b), sol_soc,
+                        sol)
+                else:
+                    soc_ok = jnp.asarray(False)
 
                 def ls_cond(ls):
                     alpha, accepted = ls
@@ -276,20 +491,18 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
 
                 def ls_body(ls):
                     alpha, _ = ls
-                    xt = it.x + alpha * sol.x
-                    ut = it.u + alpha * sol.u
-                    slt = it.sl + alpha * (sol.sl - it.sl)
-                    sut = it.su + alpha * (sol.su - it.su)
-                    mt = _merit(form, data, soft_scaled, xt, ut, slt, sut,
-                                w_pi, w_lam, lb_m, ub_m)
-                    ok = mt < merit0
+                    mt = trial_merit(sol, alpha)
+                    ok = mt < merit0 + eps_sd * dmerit * alpha
                     alpha_next = jnp.where(ok, alpha,
                                            alpha * opts.alpha_reduction)
                     return (alpha_next, ok)
 
-                alpha, _ = jax.lax.while_loop(
-                    ls_cond, ls_body, (jnp.asarray(1.0, dtype),
-                                       jnp.asarray(False)))
+                alpha_bt, _ = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(opts.alpha_reduction, dtype),
+                     jnp.asarray(False)))
+                alpha = jnp.where(full_ok | soc_ok, 1.0, alpha_bt)
+            sol = sol_used
 
             step_norm = alpha * jnp.maximum(jnp.max(jnp.abs(sol.x)),
                                             jnp.max(jnp.abs(sol.u)))
@@ -343,13 +556,15 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             small_step = step_norm < opts.tol_min_step_norm
             new_status = jnp.where(
                 converged, 0,
-                jnp.where(nan | qp_fatal, jnp.where(qp_fatal, 4, 1),
-                          jnp.where(small_step, 3, status)))
-            done = converged | nan | qp_fatal | small_step
+                jnp.where(unbounded, 6,  # ACADOS_UNBOUNDED
+                          jnp.where(nan | qp_fatal,
+                                    jnp.where(qp_fatal, 4, 1),
+                                    jnp.where(small_step, 3, status))))
+            done = converged | unbounded | nan | qp_fatal | small_step
             # k advances only when we actually stepped
             k_new = jnp.where(converged, k, k + 1)
             return (it_new, k_new, new_status, done, qp_tot, stat, aa,
-                    hist)
+                    hist, gstate)
 
         status0 = jnp.asarray(2, jnp.int32)  # MAXITER unless terminated
         zero_step = jax.tree.map(jnp.zeros_like, init)
@@ -362,11 +577,23 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                           dtype).at[0].set(init.u))
         else:
             hist0 = ()
+        if opts.globalization == "FUNNEL_L1PEN_LINESEARCH":
+            inf0 = _l1_infeasibility(form, data, soft_scaled, init.x,
+                                     init.u, init.sl, init.su, lb_m, ub_m)
+            fw0 = jnp.maximum(
+                jnp.asarray(opts.funnel_initialization_upper_bound,
+                            dtype),
+                opts.funnel_initialization_increase_factor * inf0)
+            gstate0 = (fw0,
+                       jnp.asarray(opts.funnel_initial_penalty_parameter,
+                                   dtype), jnp.asarray(False))
+        else:
+            gstate0 = ()
         carry0 = (init, jnp.asarray(0, jnp.int32), status0,
                   jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0,
-                  aa0, hist0)
-        it, k, status, done, qp_tot, stat, _aa, hist = jax.lax.while_loop(
-            cond, body, carry0)
+                  aa0, hist0, gstate0)
+        (it, k, status, done, qp_tot, stat, _aa, hist,
+         _gs) = jax.lax.while_loop(cond, body, carry0)
 
         # final residuals at the returned iterate
         qp = linearize(form, static_rows, data, it, lm)

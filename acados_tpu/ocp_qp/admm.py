@@ -1,0 +1,134 @@
+"""ADMM first-order fallback QP backend (OSQP-class).
+
+TPU-native counterpart of the reference's OSQP backend
+(/root/reference/acados/ocp_qp/ocp_qp_osqp.c): the alternative to the
+interior point for problems where a cheap, robust first-order method is
+preferred. Unlike the reference (which flattens the OCP into one sparse
+CSC matrix, :64-217), the splitting here keeps the OCP structure: the
+w-update is an equality-constrained LQ problem solved by the same Riccati
+factor/solve kernel the IPM uses — the dynamics are satisfied EXACTLY at
+every iterate; only the inequality rows are split.
+
+    min 0.5 w'Hw + g'w   s.t. dynamics(w),  l <= Gw <= u
+    ADMM on z = Gw:
+      w+ = argmin 0.5 w'Hw + g'w + rho/2 ||Gw - z + y||^2  s.t. dynamics
+      z+ = clip(Gw+ + y, l, u)
+      y+ = y + Gw+ - z+
+
+The w-update's Hessian H + rho G'G is row-structured exactly like the
+IPM's barrier Hessian, so the same `_barrier_hessian` + Riccati path
+applies, with a FIXED penalty rho -> the factorization is computed once
+and reused for every iteration (a structural advantage over the IPM's
+barrier-dependent factorization).
+
+Limitations (documented, reference OSQP shares them): no soft-constraint
+slack structure (soft rows are treated as hard); accuracy is
+first-order-typical — use the IPM for tight tolerances.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
+from acados_tpu.ocp_qp.ipm import IpmInfo, IpmOpts, _stage_g
+from acados_tpu.ocp_qp.riccati import riccati_factor, riccati_solve
+from acados_tpu.utils.struct import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class AdmmOpts:
+    """ADMM options (names follow OSQP where they transfer)."""
+
+    iter_max: int = static_field(default=200)
+    rho: float = 1e1
+    sigma: float = 1e-6        # primal regularization
+    alpha_relax: float = 1.6   # over-relaxation
+    tol_prim: float = 1e-6
+    tol_dual: float = 1e-6
+    matmul_precision: str = static_field(default="highest")
+
+
+@partial(jax.jit, static_argnames=())
+def solve_ocp_qp_admm(qp: OcpQp, opts: AdmmOpts = None):
+    """Solve one OCP-QP with structure-exploiting ADMM.
+
+    Returns (OcpQpSol, IpmInfo) — the same contract as solve_ocp_qp, so
+    the backend registry can swap it in.
+    """
+    if opts is None:
+        opts = AdmmOpts()
+    with jax.default_matmul_precision(opts.matmul_precision):
+        return _solve(qp, opts)
+
+
+def _solve(qp: OcpQp, opts: AdmmOpts):
+    dt = qp.q.dtype
+    mask = jnp.maximum(qp.mask_l, qp.mask_u)      # rows with any bound
+    big = jnp.asarray(1e20, dt)
+    # absolute-row form: row value t = g(w); bounds l <= t <= u
+    lo = jnp.where(qp.mask_l > 0, qp.lg, -big)
+    hi = jnp.where(qp.mask_u > 0, qp.ug, big)
+    # per-row penalty: equality rows (l == u, e.g. the x0 rows) get the
+    # OSQP-style 1e3 boost — they must be satisfied tightly
+    is_eq = (qp.mask_l > 0) & (qp.mask_u > 0) & (jnp.abs(qp.ug - qp.lg)
+                                                 < 1e-12)
+    rho = jnp.asarray(opts.rho, dt) * jnp.where(is_eq, 1e3, 1.0)
+
+    # fixed factorization: H + sigma I + rho G'G
+    W = rho * mask
+    WC = W[:, :, None] * qp.C
+    eye_x = jnp.eye(qp.Q.shape[-1], dtype=dt) * opts.sigma
+    eye_u = jnp.eye(qp.R.shape[-1], dtype=dt) * opts.sigma
+    Qb = qp.Q + eye_x + jnp.einsum("kij,kil->kjl", qp.C, WC)
+    Rb = qp.R + eye_u + jnp.einsum(
+        "kij,kil->kjl", qp.D, W[:-1, :, None] * qp.D)
+    Sb = qp.S + jnp.einsum("kij,kil->kjl", qp.D, WC[:-1])
+    fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=0.0)
+
+    def row_op_T(v):
+        """G' v by stage."""
+        cv = jnp.einsum("kij,ki->kj", qp.C, v)
+        dv = jnp.einsum("kij,ki->kj", qp.D, v[:-1])
+        return cv, dv
+
+    z0 = jnp.clip(jnp.zeros_like(qp.lg), lo, hi) * mask
+    y0 = jnp.zeros_like(qp.lg)
+
+    w0 = (jnp.zeros_like(qp.q), jnp.zeros_like(qp.r),
+          jnp.zeros_like(qp.b))
+
+    def body(carry, _):
+        z, y, w, _, _ = carry
+        # w-update: rhs gradient g + rho G'(y - z)
+        cv, dv = row_op_T(rho * mask * (y - z))
+        dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qp.q + cv,
+                                    qp.r + dv, qp.b)
+        t = _stage_g(qp, dx, du) * mask
+        t_rel = opts.alpha_relax * t + (1 - opts.alpha_relax) * z
+        z_new = jnp.clip(t_rel + y, lo, hi) * mask
+        y_new = (y + t_rel - z_new) * mask
+        r_prim = jnp.max(jnp.abs((t - z_new) * mask))
+        r_dual = jnp.max(rho * jnp.abs(z_new - z))
+        return (z_new, y_new, (dx, du, dpi), r_prim, r_dual), None
+
+    (z, y, (dx, du, dpi), r_prim, r_dual), _ = jax.lax.scan(
+        body, (z0, y0, w0, jnp.asarray(jnp.inf, dt),
+               jnp.asarray(jnp.inf, dt)), None, length=opts.iter_max)
+
+    lam = rho * y  # scaled dual -> row multipliers
+    lam_l = jnp.maximum(-lam, 0.0) * qp.mask_l
+    lam_u = jnp.maximum(lam, 0.0) * qp.mask_u
+    t_val = _stage_g(qp, dx, du)
+    sol = OcpQpSol(x=dx, u=du, pi=dpi,
+                   lam_lg=lam_l, lam_ug=lam_u,
+                   t_lg=t_val - qp.lg, t_ug=qp.ug - t_val,
+                   sl=jnp.zeros_like(lam_l), su=jnp.zeros_like(lam_u))
+    converged = (r_prim < opts.tol_prim) & (r_dual < opts.tol_dual)
+    info = IpmInfo(num_iter=jnp.asarray(opts.iter_max, jnp.int32),
+                   mu=r_prim, res_stat=r_dual, res_eq=jnp.asarray(0.0, dt),
+                   res_ineq=r_prim,
+                   status=jnp.where(converged, 0, 2).astype(jnp.int32))
+    return sol, info

@@ -408,3 +408,82 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
     info = IpmInfo(num_iter=k, mu=mu, res_stat=rs, res_eq=re, res_ineq=ri,
                    status=status)
     return sol, info
+
+
+# ---------------------------------------------------------------------------
+# QP-level solution sensitivities (seed API)
+# ---------------------------------------------------------------------------
+
+def _iterate_at_solution(qp: OcpQp, sol: OcpQpSol,
+                         floor: float = 1e-12) -> _Iterate:
+    """Converged solution -> strictly-positive iterate WITHOUT the warm
+    start's t0_min centering floor (which would corrupt the barrier
+    weights lam/t the implicit differentiation relies on)."""
+    dt = qp.q.dtype
+    ml, mu_ = qp.mask_l, qp.mask_u
+    sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
+    f = jnp.asarray(floor, dt)
+    lam_l = jnp.where(ml > 0, jnp.maximum(sol.lam_lg, f), 0.0)
+    lam_u = jnp.where(mu_ > 0, jnp.maximum(sol.lam_ug, f), 0.0)
+    t_l = jnp.where(ml > 0, jnp.maximum(sol.t_lg, f), 1.0)
+    t_u = jnp.where(mu_ > 0, jnp.maximum(sol.t_ug, f), 1.0)
+    sl = jnp.where(sml > 0, jnp.maximum(sol.sl, f), 1.0)
+    su = jnp.where(smu > 0, jnp.maximum(sol.su, f), 1.0)
+    lam_sl = jnp.where(sml > 0,
+                       jnp.maximum(qp.zl + qp.Zl * sl - lam_l, f), 1.0)
+    lam_su = jnp.where(smu > 0,
+                       jnp.maximum(qp.zu + qp.Zu * su - lam_u, f), 1.0)
+    return _Iterate(x=sol.x, u=sol.u, pi=sol.pi, lam_l=lam_l,
+                    lam_u=lam_u, t_l=t_l, t_u=t_u, sl=sl, su=su,
+                    lam_sl=lam_sl, lam_su=lam_su)
+
+
+def solve_ocp_qp_sens_frw(qp: OcpQp, sol: OcpQpSol, d_qp: OcpQp,
+                          opts: IpmOpts = None):
+    """Forward QP solution sensitivity in the data direction d_qp.
+
+    Mirrors HPIPM's d_ocp_qp_ipm_sens_frw (reference ocp_qp_hpipm.c:489):
+    implicit differentiation of the barrier-KKT system at the converged
+    solution — K d(sol)/dtheta = -d(res)/dtheta. d_qp is an OcpQp tangent
+    (seed the fields you differentiate against, zeros elsewhere; masks in
+    d_qp are ignored — pass zeros).
+
+    Returns (dx, du, dpi).
+    """
+    if opts is None:
+        opts = IpmOpts()
+    with jax.default_matmul_precision(opts.matmul_precision):
+        it = _iterate_at_solution(qp, sol)
+        res_of = lambda qp_: _residuals(qp_.replace(
+            mask_l=qp.mask_l, mask_u=qp.mask_u,
+            soft_mask=qp.soft_mask), it)[0]
+        _, d_res = jax.jvp(res_of, (qp,), (d_qp,))
+        weights = _row_weights(qp, it)
+        Qb, Rb, Sb = _barrier_hessian(qp, weights[0])
+        fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B,
+                              reg_eps=opts.reg_eps)
+        zl = jnp.zeros_like(qp.lg)
+        d = _newton_step(qp, fact, it, d_res, weights, zl, zl, zl, zl)
+        return d.x, d.u, d.pi
+
+
+def solve_ocp_qp_sens_adj(qp: OcpQp, sol: OcpQpSol, seed_x, seed_u,
+                          opts: IpmOpts = None) -> OcpQp:
+    """Adjoint QP solution sensitivity: gradient of <seed, (x, u)> wrt the
+    QP data fields. Mirrors d_ocp_qp_ipm_sens_adj (ocp_qp_hpipm.c:503).
+
+    Returns an OcpQp pytree of gradients (masks/soft fields zero).
+    """
+    if opts is None:
+        opts = IpmOpts()
+    dt = qp.q.dtype
+    # the forward sensitivity is LINEAR in the data tangent; the adjoint
+    # is its exact transpose (jax.vjp of the forward map), so every data
+    # field's contribution — including bounds and slack penalties routed
+    # through the row elimination — is accounted for
+    fwd = lambda d_qp: solve_ocp_qp_sens_frw(qp, sol, d_qp, opts)
+    zero = jax.tree.map(jnp.zeros_like, qp)
+    _, vjp = jax.vjp(fwd, zero)
+    (grad,) = vjp((jnp.asarray(seed_x, dt), jnp.asarray(seed_u, dt),
+                   jnp.zeros_like(qp.b)))
+    return grad

@@ -1,0 +1,69 @@
+"""Pluggable QP backend registry.
+
+TPU-native counterpart of the reference's QP solver plan enum +
+per-backend modules (ocp_qp_solver_plan_t over
+PARTIAL_CONDENSING_{HPIPM,OSQP,...} / FULL_CONDENSING_{...},
+interfaces/acados_c/ocp_qp_interface.h:60-106): backends register under a
+name; the NLP layer resolves by name at build time. A backend is any
+callable (qp: OcpQp, opts, warm=None) -> (OcpQpSol, IpmInfo-like).
+
+Built-ins:
+  RICCATI_IPM   the batched Mehrotra IPM (ocp_qp/ipm.py, HPIPM analog)
+  ADMM          structure-exploiting first-order splitting (ocp_qp/admm.py,
+                OSQP analog)
+Reference backend names map onto these (PARTIAL_CONDENSING_HPIPM ->
+RICCATI_IPM, PARTIAL_CONDENSING_OSQP -> ADMM, ...) so reference configs
+run unchanged.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+_REGISTRY: Dict[str, Callable] = {}
+
+# reference plan-enum names -> native backends
+_ALIASES = {
+    "PARTIAL_CONDENSING_HPIPM": "RICCATI_IPM",
+    "FULL_CONDENSING_HPIPM": "RICCATI_IPM",
+    "FULL_CONDENSING_QPOASES": "RICCATI_IPM",
+    "FULL_CONDENSING_DAQP": "RICCATI_IPM",
+    "PARTIAL_CONDENSING_OSQP": "ADMM",
+    "PARTIAL_CONDENSING_QPDUNES": "ADMM",
+}
+
+
+def register_qp_backend(name: str, solve_fn: Callable) -> None:
+    """Register a QP backend (reference analog: adding a module to the
+    ocp_qp_solver_t enum + config factory)."""
+    _REGISTRY[name] = solve_fn
+
+
+def get_qp_backend(name: str) -> Callable:
+    name = _ALIASES.get(name, name)
+    if name not in _REGISTRY:
+        raise ValueError(f"unknown QP backend {name!r}; registered: "
+                         f"{sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def available_qp_backends():
+    return sorted(_REGISTRY)
+
+
+def _register_builtins():
+    from acados_tpu.ocp_qp.admm import AdmmOpts, solve_ocp_qp_admm
+    from acados_tpu.ocp_qp.ipm import solve_ocp_qp
+
+    def ipm_backend(qp, opts=None, warm=None):
+        return solve_ocp_qp(qp, opts, warm=warm)
+
+    def admm_backend(qp, opts=None, warm=None):
+        del warm  # ADMM restarts cheaply; warm start not wired yet
+        admm_opts = opts if isinstance(opts, AdmmOpts) else None
+        return solve_ocp_qp_admm(qp, admm_opts)
+
+    register_qp_backend("RICCATI_IPM", ipm_backend)
+    register_qp_backend("ADMM", admm_backend)
+
+
+_register_builtins()

@@ -114,3 +114,45 @@ class TestInterfaceOptions:
         for f in ("time_lin", "time_qp", "time_sim", "time_reg",
                   "time_glob"):
             assert np.isfinite(s.get_stats(f))
+
+
+class TestFlatIterate:
+    def test_flat_roundtrip_and_transfer(self):
+        """get_flat/set_flat over all fields incl. duals (reference
+        ocp_nlp_get_all/set_all, ocp_nlp_interface.c:1914,2018) and
+        warm-start transfer between solvers."""
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        flat = s.store_iterate_to_flat_obj()
+        assert flat.lam.shape[0] == (s.N + 1) * 2 * s.form.nc
+        s2 = AcadosOcpSolver(ocp)
+        s2.load_iterate_from_flat_obj(flat)
+        assert s2.store_iterate_to_flat_obj().allclose(flat)
+        # warm-started solve converges immediately
+        assert s2.solve() == 0
+        assert s2.get_stats("sqp_iter") <= 1
+
+    def test_batch_forward_sensitivity_matches_single(self):
+        from acados_tpu.interface.batch_solver import AcadosOcpBatchSolver
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        x0 = np.array([0.0, np.pi, 0.0, 0.0])
+        b = AcadosOcpBatchSolver(ocp, N_batch=2)
+        for i in range(2):
+            v = b.ocp_solvers[i]
+            v.set(0, "lbx", x0)
+            v.set(0, "ubx", x0)
+            for k in range(21):
+                v.set(k, "x", x0)
+        assert np.all(b.solve() == 0)
+        sx = b.eval_solution_sensitivity(0, "initial_state",
+                                         return_sens_u=False)
+        s = AcadosOcpSolver(ocp)
+        s.set(0, "lbx", x0)
+        s.set(0, "ubx", x0)
+        for k in range(21):
+            s.set(k, "x", x0)
+        assert s.solve() == 0
+        sx1 = s.eval_solution_sensitivity(0, "initial_state",
+                                          return_sens_u=False)
+        np.testing.assert_allclose(sx[0, 0], sx1, atol=1e-10)
