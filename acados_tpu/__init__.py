@@ -19,9 +19,13 @@ from acados_tpu.interface.iterate import (AcadosOcpFlattenedBatchIterate,
                                           AcadosOcpFlattenedIterate,
                                           AcadosOcpIterate)
 from acados_tpu.interface.multiphase import AcadosMultiphaseOcp
+from acados_tpu.interface.ocp_qp_solver import (AcadosOcpQp,
+                                                AcadosOcpQpSolver)
+from acados_tpu.interface.param_manager import (AcadosParam,
+                                                AcadosParamManager)
 from acados_tpu.interface.scipy_solver import AcadosScipyOcpSolver
-from acados_tpu.interface.sim_solver import (AcadosSim, AcadosSimOpts,
-                                             AcadosSimSolver)
+from acados_tpu.interface.sim_solver import (AcadosSim, AcadosSimBatchSolver,
+                                             AcadosSimOpts, AcadosSimSolver)
 from acados_tpu.interface.solver import AcadosOcpSolver
 from acados_tpu.interface.zoro import ZoroDescription
 from acados_tpu.utils.types import ACADOS_INFTY, AcadosStatus
@@ -35,5 +39,7 @@ __all__ = [
     "AcadosOcpIterate", "AcadosOcpFlattenedIterate",
     "AcadosOcpFlattenedBatchIterate", "ZoroDescription",
     "AcadosSim", "AcadosSimOpts", "AcadosSimSolver",
+    "AcadosSimBatchSolver", "AcadosOcpQp", "AcadosOcpQpSolver",
+    "AcadosParam", "AcadosParamManager",
     "ACADOS_INFTY", "AcadosStatus",
 ]

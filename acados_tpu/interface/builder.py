@@ -299,10 +299,18 @@ def build_ocp(ocp: AcadosOcp):
         disc = _norm4(m.disc_dyn_expr)
         step_fn = lambda x, u, p, t, dt: disc(x, u, p, t)
     else:
+        # LIFTED_IRK in the NLP context: the reference's payoff (one Newton
+        # per SQP iteration, sim_lifted_irk_integrator.c:655) comes from
+        # caching stage memory across outer iterations; in a jit-fused SQP
+        # the converged IRK Newton loop fuses into the same XLA program, so
+        # the OCP path maps LIFTED_IRK -> IRK (standalone lifted stepping
+        # lives in sim/lifted_irk.py + AcadosSimSolver).
+        itype = ("IRK" if so.integrator_type == "LIFTED_IRK"
+                 else so.integrator_type)
         step = make_step_fn(
-            f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx,
+            f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx, nu=nu,
             nz=_dim_of(m.z), opts=SimOpts(
-                integrator_type=so.integrator_type,
+                integrator_type=itype,
                 num_stages=so.sim_method_num_stages,
                 num_steps=so.sim_method_num_steps,
                 newton_iter=so.sim_method_newton_iter,

@@ -790,14 +790,44 @@ class AcadosOcpSolver:
             self.set_flat(f, getattr(flat, f))
 
     def store_iterate(self, filename: str, overwrite=True, verbose=False):
-        """Reference: store_iterate -> json file."""
+        """Reference: store_iterate -> json file. A '.atni' extension
+        selects the native binary checkpoint format (C++ writer,
+        acados_tpu/native) — JSON round-trips MB-scale batched iterates
+        too slowly for checkpoint/restore in production loops."""
         del overwrite, verbose
+        if filename.endswith(".atni"):
+            from acados_tpu.native import save_iterate_bin
+            save_iterate_bin(filename, self._iterate)
+            return
         with open(filename, "w") as f:
             json.dump({k: v.tolist() for k, v in self._iterate.items()}, f)
 
     def load_iterate(self, filename: str, verbose=False):
         del verbose
+        if filename.endswith(".atni"):
+            from acados_tpu.native import load_iterate_bin
+            self.load_iterate_from_obj(load_iterate_bin(filename))
+            return
         with open(filename) as f:
             obj = json.load(f)
         self.load_iterate_from_obj({k: np.asarray(v) for k, v in
                                     obj.items()})
+
+    def dump_qp_to_file(self, filename: str):
+        """Debug dump of the QP linearized at the current iterate
+        (reference ACADOS_DEBUG_SQP_PRINT_QPS_TO_FILE,
+        ocp_nlp_common.h:674-675 + print.c QP printers): writes every
+        stage-blocked QP matrix/vector to an .npz so a failing SQP
+        subproblem can be inspected or re-solved standalone
+        (`OcpQp(**{k: jnp.asarray(v) for ...})`)."""
+        from acados_tpu.ocp_nlp.linearize import build_static_rows, \
+            linearize
+        static_rows = build_static_rows(self.form, self.dtype)
+        qp = linearize(self.form, static_rows,
+                       data_to_jax(self._data, self.dtype),
+                       self._iterate_jax(), 0.0)
+        np.savez(filename, **{k: np.asarray(getattr(qp, k))
+                              for k in ("Q", "R", "S", "q", "r", "A", "B",
+                                        "b", "C", "D", "lg", "ug", "mask_l",
+                                        "mask_u", "Zl", "Zu", "zl", "zu",
+                                        "soft_mask")})

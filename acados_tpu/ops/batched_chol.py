@@ -1,0 +1,172 @@
+"""Batched small-matrix Cholesky factor/solve as Pallas TPU kernels.
+
+The IPM/Riccati hot loop (`ocp_qp/riccati.py:67`, `ocp_qp/ipm.py`) is
+dominated by Cholesky factorizations and triangular solves of *tiny*
+matrices (nu, nx ∈ [1, ~50]) over *huge* batches (thousands of OCP
+instances). The reference hands this to BLASFEO's panel-major assembly
+kernels one matrix at a time (e.g. blasfeo_dpotrf in HPIPM's Riccati,
+reference ocp_qp_hpipm.c:347); the TPU-native inversion is to put the
+BATCH on the 128-wide lane axis and unroll the n²/2-step
+Cholesky–Banachiewicz recurrence into full-width VPU vector ops — every
+arithmetic op processes TILE_B instances at once, and the tiny-n
+sequential dependency chain costs only its depth, not its width.
+
+Layout: host-side (B, n, n) arrays are transposed once to (n, n, B)
+("entry-major, batch-minor") so each L[i,j] lives in one lane-contiguous
+row. n is a static trace constant (it is a model dimension), so the
+recurrence fully unrolls at trace time.
+
+On non-TPU backends the kernels run in Pallas interpret mode (tests), so
+the same code path is exercised everywhere.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_B = 512  # lanes multiple; 4 VPU tiles of f32 per entry-row
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chol_kernel(h_ref, l_ref, *, n):
+    L = {}
+    for i in range(n):
+        for j in range(i + 1):
+            s = h_ref[i, j, :]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            if i == j:
+                d = jnp.sqrt(s)
+                L[(i, j)] = d
+                Linv_d = 1.0 / d
+                L[("inv", j)] = Linv_d
+            else:
+                L[(i, j)] = s * L[("inv", j)]
+    for i in range(n):
+        for j in range(n):
+            if j <= i:
+                l_ref[i, j, :] = L[(i, j)]
+            else:
+                l_ref[i, j, :] = jnp.zeros_like(L[(i, i)])
+
+
+def _solve_kernel(l_ref, b_ref, x_ref, *, n):
+    # forward substitution L y = b
+    y = {}
+    for i in range(n):
+        s = b_ref[i, :]
+        for k in range(i):
+            s = s - l_ref[i, k, :] * y[k]
+        y[i] = s / l_ref[i, i, :]
+    # back substitution L' x = y
+    x = {}
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l_ref[k, i, :] * x[k]
+        x[i] = s / l_ref[i, i, :]
+    for i in range(n):
+        x_ref[i, :] = x[i]
+
+
+def _factor_solve_kernel(h_ref, b_ref, l_ref, x_ref, *, n):
+    _chol_kernel(h_ref, l_ref, n=n)
+    _solve_kernel(l_ref, b_ref, x_ref, n=n)
+
+
+def _pad_batch(a, tile):
+    B = a.shape[-1]
+    pad = (-B) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+    return a, B
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def chol_factor_batched(H, tile_b: int = _TILE_B):
+    """Lower-Cholesky of a batch of SPD matrices. H: (B, n, n) -> (B, n, n).
+
+    Pallas replacement for vmapped `jnp.linalg.cholesky` on tiny n.
+    """
+    B, n, _ = H.shape
+    h = jnp.moveaxis(H, 0, -1)                       # (n, n, B)
+    h, B0 = _pad_batch(h, tile_b)
+    Bp = h.shape[-1]
+    grid = (Bp // tile_b,)
+    out = pl.pallas_call(
+        functools.partial(_chol_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), H.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(h)
+    return jnp.moveaxis(out[..., :B0], -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def chol_solve_batched(L, b, tile_b: int = _TILE_B):
+    """Solve L L' x = b for a batch. L: (B, n, n) lower, b: (B, n)."""
+    B, n, _ = L.shape
+    l = jnp.moveaxis(L, 0, -1)
+    bb = jnp.moveaxis(b, 0, -1)                      # (n, B)
+    l, B0 = _pad_batch(l, tile_b)
+    bb, _ = _pad_batch(bb, tile_b)
+    Bp = l.shape[-1]
+    grid = (Bp // tile_b,)
+    out = pl.pallas_call(
+        functools.partial(_solve_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((n, Bp), b.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(l, bb)
+    return jnp.moveaxis(out[..., :B0], -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b",))
+def chol_factor_solve_batched(H, b, tile_b: int = _TILE_B):
+    """Fused factor + solve: x = H^{-1} b for SPD H. Returns (x, L).
+
+    One kernel launch, one VMEM residency — the shape the Riccati feedback
+    step wants (Huu^-1 @ h_u over the batch).
+    """
+    B, n, _ = H.shape
+    h = jnp.moveaxis(H, 0, -1)
+    bb = jnp.moveaxis(b, 0, -1)
+    h, B0 = _pad_batch(h, tile_b)
+    bb, _ = _pad_batch(bb, tile_b)
+    Bp = h.shape[-1]
+    grid = (Bp // tile_b,)
+    L, x = pl.pallas_call(
+        functools.partial(_factor_solve_kernel, n=n),
+        out_shape=(jax.ShapeDtypeStruct((n, n, Bp), H.dtype),
+                   jax.ShapeDtypeStruct((n, Bp), b.dtype)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        interpret=_interpret(),
+    )(h, bb)
+    return (jnp.moveaxis(x[..., :B0], -1, 0),
+            jnp.moveaxis(L[..., :B0], -1, 0))

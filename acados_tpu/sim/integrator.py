@@ -52,7 +52,8 @@ class SimOpts:
     """Integrator options (reference sim opts: sim_common.h:120-158 —
     ns stages, num_steps, newton_iter, collocation_type)."""
 
-    integrator_type: str = static_field(default="ERK")  # ERK | IRK
+    integrator_type: str = static_field(default="ERK")
+    # ERK | IRK | GNSF | LIFTED_IRK (sim_interface.h:43-49)
     num_stages: int = static_field(default=4)
     num_steps: int = static_field(default=1)
     newton_iter: int = static_field(default=3)
@@ -60,7 +61,7 @@ class SimOpts:
 
 
 def make_step_fn(f_expl=None, f_impl=None, nx=None, nz=0,
-                 opts: SimOpts = None):
+                 opts: SimOpts = None, nu=None, p=None):
     """Build step(x, u, p, t0, dt) -> x_next (ODE) from model functions.
 
     For IRK with nz > 0 the step returns only x_next; use `make_dae_step_fn`
@@ -86,6 +87,35 @@ def make_step_fn(f_expl=None, f_impl=None, nx=None, nz=0,
         if nz == 0:
             return lambda x, u, p, t0, dt: irk(x, u, p, t0, dt)[0]
         return irk
+    elif opts.integrator_type == "GNSF":
+        # structure-exploiting collocation (reference sim_gnsf.c:2160);
+        # numeric structure detection replaces the reference's symbolic
+        # gnsf.py:758 pass. Falls back to IRK when no structure is found
+        # (reference errors out instead; fallback is strictly safer).
+        from acados_tpu.sim.gnsf import make_gnsf_step_from_ode
+        if f_expl is None:
+            raise ValueError("GNSF requires explicit dynamics f_expl")
+        if nu is None:
+            raise ValueError("GNSF structure detection needs nu")
+        fe = normalize_dynamics(f_expl)
+        gstep = make_gnsf_step_from_ode(
+            fe, nx=nx, nu=nu, p=p, num_stages=opts.num_stages,
+            num_steps=opts.num_steps, newton_iter=max(opts.newton_iter, 3))
+        if gstep is None:
+            return make_step_fn(f_expl=f_expl, nx=nx, nz=nz,
+                                opts=SimOpts(integrator_type="IRK",
+                                             num_stages=opts.num_stages,
+                                             num_steps=opts.num_steps,
+                                             newton_iter=opts.newton_iter))
+        if nz == 0:
+            return lambda x, u, p, t0, dt: gstep(x, u, p, t0, dt)[0]
+        return gstep
+    elif opts.integrator_type == "LIFTED_IRK":
+        raise ValueError(
+            "LIFTED_IRK carries stage memory across calls; use "
+            "sim.lifted_irk.make_lifted_irk_step (functional lifted state) "
+            "or AcadosSimSolver(integrator_type='LIFTED_IRK') which holds "
+            "the lifted variables between simulate() calls")
     raise ValueError(f"unknown integrator_type {opts.integrator_type}")
 
 

@@ -100,3 +100,47 @@ class TestShardingParity:
                                    atol=1e-9)
         # the result really was computed sharded over all 8 devices
         assert len(it_8.x.sharding.device_set) == 8
+
+
+class TestDistributedHelpers:
+    """Multi-host helpers (single-process degenerate behavior; true
+    multi-host requires a pod launcher — SURVEY.md §2.9 TPU mapping)."""
+
+    def test_initialize_idempotent(self):
+        from acados_tpu.parallel.distributed import initialize_distributed
+        assert initialize_distributed() == 1
+        assert initialize_distributed() == 1  # second call is a no-op
+
+    def test_local_batch_slice_covers(self):
+        from acados_tpu.parallel.distributed import \
+            process_local_batch_slice
+        s, e = process_local_batch_slice(100)
+        assert (s, e) == (0, 100)
+
+    def test_status_counts_and_residual(self):
+        import numpy as np
+        from acados_tpu.parallel.distributed import (
+            all_reduce_status_counts, global_max_residual)
+        counts = all_reduce_status_counts(np.array([0, 0, 1, 2, 0, 4]))
+        assert counts[0] == 3 and counts[1] == 1 and counts[4] == 1
+        assert global_max_residual(np.array([1e-3, 2e-5])) == 1e-3
+
+
+class TestQpDump:
+    def test_dump_qp_to_file(self, tmp_path):
+        """Debug QP dump (reference ACADOS_DEBUG_SQP_PRINT_QPS_TO_FILE
+        analog) contains a consistent stage-blocked QP."""
+        import numpy as np
+        from acados_tpu import AcadosOcpSolver
+        from test_interface import make_ocp
+        s = AcadosOcpSolver(make_ocp(N=8))
+        assert s.solve() == 0
+        p = str(tmp_path / "qp.npz")
+        s.dump_qp_to_file(p)
+        d = np.load(p)
+        assert d["Q"].shape == (9, 4, 4)
+        assert d["A"].shape == (8, 4, 4)
+        assert d["B"].shape == (8, 4, 1)
+        # dynamics gap at a converged iterate ~ 0: b = x_{k+1}-f(x_k,u_k)
+        # is folded into b; the linearization residual must be finite
+        assert np.isfinite(d["b"]).all()

@@ -151,3 +151,109 @@ class TestDae:
         np.testing.assert_allclose(np.asarray(xn), x_ref, atol=1e-7)
         np.testing.assert_allclose(np.asarray(zn)[0],
                                    x_ref[2] ** 2 + x_ref[3] ** 2, atol=1e-6)
+
+
+class TestGnsf:
+    """GNSF structure-exploiting integrator (reference sim_gnsf.c:2160 +
+    symbolic detection gnsf.py:758 — here detected numerically)."""
+
+    def test_detects_pendulum_structure(self):
+        from acados_tpu.sim.gnsf import detect_gnsf_structure
+        mdl = detect_gnsf_structure(pendulum_ode, nx=4, nu=1)
+        assert mdl is not None
+        # positions integrate velocities linearly -> a nontrivial split
+        assert mdl.n_out < 4 and mdl.n_out > 0
+        assert mdl.nx1 + mdl.nx2 == 4
+
+    def test_matches_scipy(self):
+        step = make_step_fn(f_expl=pendulum_ode, nx=4, nu=1,
+                            opts=SimOpts(integrator_type="GNSF",
+                                         num_stages=4, num_steps=20,
+                                         newton_iter=6))
+        xn = step(jnp.asarray(X0), jnp.asarray(U0), None, 0.0, DT)
+        np.testing.assert_allclose(np.asarray(xn), scipy_ref(), atol=1e-8)
+
+    def test_matches_irk_exactly_linear(self):
+        """Fully linear ODE -> pure linear-output system (n_out == 0)."""
+        A = jnp.array([[0.0, 1.0], [-4.0, -0.4]])
+        B = jnp.array([[0.0], [1.0]])
+        flin = lambda x, u, p, t: A @ x + B @ u
+        from acados_tpu.sim.gnsf import detect_gnsf_structure
+        mdl = detect_gnsf_structure(flin, nx=2, nu=1)
+        assert mdl.n_out == 0 and mdl.nx2 == 2
+        g = make_step_fn(f_expl=flin, nx=2, nu=1,
+                         opts=SimOpts(integrator_type="GNSF", num_stages=3))
+        i = make_step_fn(f_expl=flin, nx=2, nu=1,
+                         opts=SimOpts(integrator_type="IRK", num_stages=3,
+                                      newton_iter=6))
+        x0, u0 = jnp.array([1.0, 0.5]), jnp.array([0.3])
+        np.testing.assert_allclose(np.asarray(g(x0, u0, None, 0.0, 0.1)),
+                                   np.asarray(i(x0, u0, None, 0.0, 0.1)),
+                                   atol=1e-12)
+
+    def test_non_gnsf_falls_back_none(self):
+        """A globally-nonlinear model with all states coupled nonlinearly
+        still verifies (phi captures everything)."""
+        f = lambda x, u, p, t: jnp.stack([jnp.sin(x[1]) * x[0],
+                                          jnp.cos(x[0]) + u[0]])
+        from acados_tpu.sim.gnsf import detect_gnsf_structure
+        mdl = detect_gnsf_structure(f, nx=2, nu=1)
+        assert mdl is not None and mdl.nx1 == 2
+
+
+class TestLiftedIrk:
+    """Lifted IRK (reference sim_lifted_irk_integrator.c:655): one Newton
+    per call on persisted stage variables; converges to IRK across calls."""
+
+    def test_converges_to_irk_fixed_point(self):
+        from acados_tpu.sim.irk import make_irk_step, implicit_from_explicit
+        from acados_tpu.sim.lifted_irk import make_lifted_irk_step
+        fi = implicit_from_explicit(pendulum_ode)
+        irk = make_irk_step(fi, nx=4, num_stages=3, newton_iter=8)
+        x_ref = np.asarray(irk(jnp.asarray(X0), jnp.asarray(U0),
+                               None, 0.0, DT)[0])
+        lstep, K0 = make_lifted_irk_step(fi, nx=4, num_stages=3)
+        K = jnp.asarray(K0)
+        errs = []
+        for _ in range(10):
+            x, K = lstep(jnp.asarray(X0), jnp.asarray(U0), None, 0.0, DT, K)
+            errs.append(np.abs(np.asarray(x) - x_ref).max())
+        assert errs[-1] < 1e-10          # fixed point == converged IRK
+        assert errs[0] > errs[-1]        # and it actually iterated there
+
+    def test_sim_solver_lifted(self):
+        from acados_tpu.interface.sim_solver import (AcadosSim,
+                                                     AcadosSimSolver)
+        from acados_tpu.interface.acados_ocp import AcadosModel
+        sim = AcadosSim()
+        sim.model = AcadosModel(name="pend", x=4, u=1,
+                                f_expl_expr=pendulum_ode)
+        sim.solver_options.T = DT
+        sim.solver_options.integrator_type = "LIFTED_IRK"
+        sim.solver_options.num_stages = 3
+        solver = AcadosSimSolver(sim)
+        for _ in range(10):
+            xn = solver.simulate(x=X0, u=U0)
+        np.testing.assert_allclose(xn, scipy_ref(), atol=1e-5)
+        assert solver.get("S_forw").shape == (4, 5)
+
+
+class TestSimBatchSolver:
+    def test_batch_equals_serial(self):
+        """Reference test_batch_solvers.py pattern for the sim layer."""
+        from acados_tpu import (AcadosModel, AcadosSim, AcadosSimBatchSolver,
+                                AcadosSimSolver)
+        sim = AcadosSim()
+        sim.model = AcadosModel(name="p", x=4, u=1,
+                                f_expl_expr=pendulum_ode)
+        sim.solver_options.T = 0.1
+        bs = AcadosSimBatchSolver(sim, 8)
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(8, 4))
+        U = rng.normal(size=(8, 1))
+        xn = bs.simulate(X, U)
+        one = AcadosSimSolver(sim)
+        for i in (0, 3, 7):
+            np.testing.assert_allclose(xn[i], one.simulate(x=X[i], u=U[i]),
+                                       atol=1e-12)
+        assert bs.get("S_forw").shape == (8, 4, 5)
