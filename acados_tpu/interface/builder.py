@@ -73,6 +73,86 @@ def _linear_ls_yfun(Vx, Vu):
     return y, Vx.shape[0]
 
 
+def _resolve_auto_cost(ocp: AcadosOcp) -> None:
+    """'AUTO' cost detection (reference acados_ocp.py:2399
+    detect_cost_type): when a stage cost is declared AUTO, probe the
+    EXTERNAL cost expression numerically — if its Hessian over (x, u) is
+    constant (quadratic cost) and the linear term lies in the range of the
+    Hessian, reformulate as LINEAR_LS (Vx/Vu/W/yref); otherwise fall back
+    to EXTERNAL. The reference decides symbolically via
+    `ca.is_quadratic`; here: Hessian-constancy at random probes plus an
+    exact reconstruction check."""
+    import jax
+
+    c, m = ocp.cost, ocp.model
+    nx, nu = _dim_of(m.x), _dim_of(m.u)
+    rng = np.random.default_rng(0)
+
+    def detect(which):
+        sfx = {"0": "_0", "path": "", "e": "_e"}[which]
+        ext = getattr(m, "cost_expr_ext_cost" + sfx, None)
+        if ext is None and which in ("0", "e"):
+            ext = m.cost_expr_ext_cost
+        if ext is None:
+            raise ValueError(
+                "AUTO cost detection requires cost_expr_ext_cost"
+                f"{sfx} (reference acados_ocp.py:2427)")
+        f4 = _norm4(ext)
+        nu_eff = 0 if which == "e" else nu
+        nw = nx + nu_eff
+        p0 = jnp.zeros((_dim_of(m.p),))
+
+        def fw(w):
+            return f4(w[:nx], jnp.concatenate(
+                [w[nx:], jnp.zeros((nu - nu_eff,), w.dtype)]), p0, 0.0)
+
+        hess = jax.jit(jax.hessian(fw))
+        H0 = np.asarray(hess(jnp.zeros(nw)))
+        for _ in range(3):
+            Hp = np.asarray(hess(jnp.asarray(rng.normal(size=nw))))
+            if not np.allclose(Hp, H0, rtol=1e-8, atol=1e-10):
+                return "EXTERNAL", None
+        g0 = np.asarray(jax.grad(fw)(jnp.zeros(nw)))
+        idx = [i for i in range(nw) if np.any(np.abs(H0[i]) > 1e-12)]
+        if not idx:
+            return "EXTERNAL", None  # zero/linear cost: keep as-is
+        Hs = H0[np.ix_(idx, idx)]
+        gs = g0[idx]
+        try:
+            yref = -np.linalg.solve(Hs, gs)
+        except np.linalg.LinAlgError:
+            return "EXTERNAL", None
+        if np.any(np.abs(np.delete(g0, idx)) > 1e-10):
+            return "EXTERNAL", None  # linear term outside Hessian range
+        V = np.zeros((len(idx), nw))
+        for r, i in enumerate(idx):
+            V[r, i] = 1.0
+        # reconstruction check incl. the constant offset
+        w = rng.normal(size=nw)
+        ls_val = 0.5 * (V @ w - yref) @ Hs @ (V @ w - yref)
+        f_val = float(fw(jnp.asarray(w))) - float(fw(jnp.zeros(nw))) \
+            + 0.5 * yref @ Hs @ yref
+        if not np.isclose(ls_val, f_val, rtol=1e-8, atol=1e-8):
+            return "EXTERNAL", None
+        return "LINEAR_LS", (V[:, :nx], V[:, nx:] if nu_eff else None,
+                             Hs, yref)
+
+    for which, attr in (("0", "cost_type_0"), ("path", "cost_type"),
+                        ("e", "cost_type_e")):
+        if getattr(c, attr, None) != "AUTO":
+            continue
+        kind, ls = detect(which)
+        sfx = {"0": "_0", "path": "", "e": "_e"}[which]
+        setattr(c, attr, kind)
+        if kind == "LINEAR_LS":
+            Vx, Vu, W, yref = ls
+            setattr(c, "Vx" + sfx, Vx)
+            if which != "e":
+                setattr(c, "Vu" + sfx, Vu)
+            setattr(c, "W" + sfx, W)
+            setattr(c, "yref" + sfx, yref)
+
+
 def _build_cost_spec(ocp: AcadosOcp, which: str):
     """which in {'0', 'path', 'e'}; falls back to the path cost type when
     the _0 variant is unset (reference make_consistent behavior)."""
@@ -275,6 +355,8 @@ def _class_slack_penalties(spec: ConstraintSpec, nc, Zl, Zu, zl, zu):
 def build_ocp(ocp: AcadosOcp):
     """AcadosOcp -> (OcpNlpFormulation, NlpData (numpy dict), layouts)."""
     m, c, con, so = ocp.model, ocp.cost, ocp.constraints, ocp.solver_options
+    if "AUTO" in (c.cost_type, c.cost_type_0, c.cost_type_e):
+        _resolve_auto_cost(ocp)
     nx = _dim_of(m.x, ocp.dims.nx or 0)
     nu = _dim_of(m.u, ocp.dims.nu or 0)
     np_dim = _dim_of(m.p, ocp.dims.np or 0)

@@ -156,3 +156,65 @@ class TestFlatIterate:
         sx1 = s.eval_solution_sensitivity(0, "initial_state",
                                           return_sens_u=False)
         np.testing.assert_allclose(sx[0, 0], sx1, atol=1e-10)
+
+
+class TestAutoCostDetection:
+    """'AUTO' cost type detection (reference acados_ocp.py:2399
+    detect_cost_type): quadratic EXTERNAL -> LINEAR_LS, else EXTERNAL."""
+
+    def _base(self):
+        import jax.numpy as jnp
+        from acados_tpu import AcadosModel, AcadosOcp
+        from test_sim import pendulum_ode
+        ocp = AcadosOcp()
+        m = AcadosModel()
+        m.name, m.x, m.u = "p", 4, 1
+        m.f_expl_expr = lambda x, u: pendulum_ode(x, u, None, 0.0)
+        ocp.model = m
+        ocp.constraints.x0 = np.array([0.0, 0.5, 0.0, 0.0])
+        ocp.solver_options.N_horizon = 10
+        ocp.solver_options.tf = 0.5
+        return ocp
+
+    def test_quadratic_becomes_linear_ls(self):
+        import jax.numpy as jnp
+        from acados_tpu import AcadosOcpSolver
+        Q = np.diag([1e3, 1e3, 1e-2, 1e-2])
+        R = np.diag([1e-2])
+        ocp = self._base()
+        ocp.model.cost_expr_ext_cost = \
+            lambda x, u: x @ jnp.asarray(Q) @ x + u @ jnp.asarray(R) @ u
+        ocp.model.cost_expr_ext_cost_e = \
+            lambda x, u: x @ jnp.asarray(Q) @ x
+        ocp.cost.cost_type = "AUTO"
+        ocp.cost.cost_type_e = "AUTO"
+        # independent oracle: same problem declared EXTERNAL explicitly
+        ocp_ext = self._base()
+        ocp_ext.model.cost_expr_ext_cost = ocp.model.cost_expr_ext_cost
+        ocp_ext.model.cost_expr_ext_cost_e = ocp.model.cost_expr_ext_cost_e
+        ocp_ext.cost.cost_type = "EXTERNAL"
+        ocp_ext.cost.cost_type_e = "EXTERNAL"
+        ocp_ext.solver_options.hessian_approx = "EXACT"
+        s = AcadosOcpSolver(ocp)
+        assert ocp.cost.cost_type == "LINEAR_LS"
+        assert ocp.cost.cost_type_e == "LINEAR_LS"
+        assert s.solve() == 0
+        s_ext = AcadosOcpSolver(ocp_ext)
+        assert s_ext.solve() == 0
+        np.testing.assert_allclose(s.get(5, "x"), s_ext.get(5, "x"),
+                                   atol=1e-6)
+        np.testing.assert_allclose(s.get_cost(), s_ext.get_cost(),
+                                   rtol=1e-6)
+
+    def test_nonquadratic_stays_external(self):
+        import jax.numpy as jnp
+        from acados_tpu import AcadosOcpSolver
+        ocp = self._base()
+        ocp.model.cost_expr_ext_cost = \
+            lambda x, u: jnp.cos(x[1]) + 0.01 * u[0] ** 2
+        ocp.cost.cost_type = "AUTO"
+        ocp.solver_options.hessian_approx = "EXACT"
+        ocp.solver_options.regularize_method = "PROJECT"
+        s = AcadosOcpSolver(ocp)
+        assert ocp.cost.cost_type == "EXTERNAL"
+        assert s.solve() == 0
