@@ -229,6 +229,10 @@ class AcadosOcpOptions:
     sim_method_num_stages: int = 4
     sim_method_num_steps: int = 1
     sim_method_newton_iter: int = 3
+    # freeze the IRK Newton Jacobian at the predictor point (reference
+    # sim opt jac_reuse, sim_common.h:139) — 1 Jacobian build + LU per
+    # integration step instead of newton_iter+1
+    sim_method_jac_reuse: bool = False
     collocation_type: str = "GAUSS_LEGENDRE"
     # condensing horizon (reference qp_solver_cond_N,
     # acados_ocp_options.py; None = no partial condensing). The nearest

@@ -17,7 +17,8 @@ import numpy as np
 from acados_tpu.interface.acados_ocp import AcadosOcp, _dim_of
 from acados_tpu.ocp_nlp.formulation import (ConstraintSpec, CostSpec,
                                             NlpData, OcpNlpFormulation)
-from acados_tpu.sim.integrator import SimOpts, make_step_fn
+from acados_tpu.sim.integrator import (SimOpts, make_step_fn,
+                                       make_step_jac_fn)
 from acados_tpu.utils.types import ACADOS_INFTY
 
 
@@ -377,6 +378,7 @@ def build_ocp(ocp: AcadosOcp):
     ts = np.concatenate([[0.0], np.cumsum(dts)])
 
     # ---- dynamics step function ------------------------------------------
+    step_jac_fn = None
     if so.integrator_type == "DISCRETE":
         disc = _norm4(m.disc_dyn_expr)
         step_fn = lambda x, u, p, t, dt: disc(x, u, p, t)
@@ -389,19 +391,24 @@ def build_ocp(ocp: AcadosOcp):
         # lives in sim/lifted_irk.py + AcadosSimSolver).
         itype = ("IRK" if so.integrator_type == "LIFTED_IRK"
                  else so.integrator_type)
-        step = make_step_fn(
+        sim_opts = SimOpts(
+            integrator_type=itype,
+            num_stages=so.sim_method_num_stages,
+            num_steps=so.sim_method_num_steps,
+            newton_iter=so.sim_method_newton_iter,
+            collocation_type=so.collocation_type)
+        step_fn = make_step_fn(
             f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx, nu=nu,
-            nz=_dim_of(m.z), opts=SimOpts(
-                integrator_type=itype,
-                num_stages=so.sim_method_num_stages,
-                num_steps=so.sim_method_num_steps,
-                newton_iter=so.sim_method_newton_iter,
-                collocation_type=so.collocation_type))
-        step_fn = step
+            nz=_dim_of(m.z), opts=sim_opts)
+        step_jac_fn = make_step_jac_fn(
+            f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx,
+            nz=_dim_of(m.z), opts=sim_opts,
+            jac_reuse=bool(so.sim_method_jac_reuse))
 
     con_0, con_p, con_e = _build_con_specs(ocp, nx, nu)
     form = OcpNlpFormulation(
         N=N, nx=nx, nu=nu, np_=np_dim, step_fn=step_fn,
+        step_jac_fn=step_jac_fn,
         cost_0=_build_cost_spec(ocp, "0"),
         cost=_build_cost_spec(ocp, "path"),
         cost_e=_build_cost_spec(ocp, "e"),

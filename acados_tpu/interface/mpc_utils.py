@@ -223,6 +223,18 @@ def detect_constraint_structure(model, constraints, stage_type: str = "path",
     J0 = Js[0]
     h0 = np.asarray(hf(jnp.zeros(nx), jnp.zeros(nu), jnp.asarray(p0), 0.0))
 
+    # moving h rows into bounds/general-linear fields shifts every row
+    # index; the soft-slack index layout (idxsh/idxsg offsets over
+    # nbu+nbx+ng, reference acados_ocp_constraints) would need remapping
+    # alongside — refuse rather than silently slack the wrong rows
+    for sname in ("idxsh" + sfx, "idxsg" + sfx):
+        sidx = getattr(constraints, sname, None)
+        if sidx is not None and np.asarray(sidx).size:
+            raise NotImplementedError(
+                f"detect_constraint_structure does not remap soft-slack "
+                f"indices ({sname} is non-empty); detect before softening "
+                f"or keep the rows in h")
+
     lh = np.atleast_1d(np.asarray(getattr(constraints, "lh" + sfx)))
     uh = np.atleast_1d(np.asarray(getattr(constraints, "uh" + sfx)))
 
@@ -389,6 +401,12 @@ def create_ocp_with_control_horizon(ocp, Nc: int, Nr: int = None):
         m2.cost_y_expr_e = lambda x: jnp.asarray(Vxe_aug, x.dtype) @ x
         ph2.cost.W_e = copy.deepcopy(ocp.cost.W_e)
         ph2.cost.yref_e = copy.deepcopy(ocp.cost.yref_e)
+    elif ocp.cost.cost_type_e == "EXTERNAL":
+        ee = ocp.model.cost_expr_ext_cost_e
+        m2.cost_expr_ext_cost_e = lambda x: ee(x[:nx])
+    elif ocp.cost.cost_type_e is not None:
+        raise NotImplementedError(
+            f"cost_type_e {ocp.cost.cost_type_e} for control horizon")
     # state bounds carry over; held control keeps its bounds as state rows
     con0 = ocp.constraints
     if con0.idxbx is not None and np.asarray(con0.idxbx).size:

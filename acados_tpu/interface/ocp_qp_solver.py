@@ -85,7 +85,7 @@ class AcadosOcpQpSolver:
             if cond_N is not None:
                 from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
                 self._solve = jax.jit(lambda q: solve_ocp_qp_xcond(
-                    q, self.opts, cond_N=cond_N))
+                    q, self.opts, cond_N=cond_N, backend=backend))
             else:
                 self._solve = jax.jit(lambda q: backend(q, self.opts))
         self.sol = None

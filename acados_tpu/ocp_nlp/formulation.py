@@ -276,6 +276,10 @@ class OcpNlpFormulation:
     nu: int
     np_: int  # parameter dimension
     step_fn: Callable  # (x, u, p, t, dt) -> x_next  (discrete dynamics)
+    # optional fused step+Jacobian: (x, u, p, t, dt) -> (x_next, A, B);
+    # the linearizer prefers it over jacfwd(step_fn) (see
+    # sim.integrator.make_step_jac_fn — the forward-VDE fast path)
+    step_jac_fn: Optional[Callable] = None
     cost_0: CostSpec = None
     cost: CostSpec = None
     cost_e: CostSpec = None

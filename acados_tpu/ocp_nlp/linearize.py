@@ -101,12 +101,20 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
     eyeW = jnp.eye(nx + nu, dtype=dt)
 
     # ---- dynamics: A, B, b over all N intervals (one vmap) ---------------
-    def dyn_one(xk, uk, pk, tk, dtk, xk1):
-        w = jnp.concatenate([xk, uk])
-        phi = lambda w_: form.step_fn(w_[:nx], w_[nx:], pk, tk, dtk)
-        xnext = phi(w)
-        J = jax.jacfwd(phi)(w)
-        return J[:, :nx], J[:, nx:], xnext - xk1
+    if form.step_jac_fn is not None:
+        # fused step+Jacobian fast path (forward VDE: one factorized
+        # stage system serves all sensitivity columns — see
+        # sim.irk.make_irk_step_jac)
+        def dyn_one(xk, uk, pk, tk, dtk, xk1):
+            xnext, Ak, Bk = form.step_jac_fn(xk, uk, pk, tk, dtk)
+            return Ak, Bk, xnext - xk1
+    else:
+        def dyn_one(xk, uk, pk, tk, dtk, xk1):
+            w = jnp.concatenate([xk, uk])
+            phi = lambda w_: form.step_fn(w_[:nx], w_[nx:], pk, tk, dtk)
+            xnext = phi(w)
+            J = jax.jacfwd(phi)(w)
+            return J[:, :nx], J[:, nx:], xnext - xk1
 
     A, B, b = jax.vmap(dyn_one)(x[:-1], u, data.p[:-1], data.ts[:-1],
                                 data.dts, x[1:])

@@ -389,7 +389,8 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                    jnp.logical_not(carry[3]))
 
         def body(carry):
-            it, k, status, _, qp_tot, stat, aa, hist, gstate = carry
+            (it, k, status, _, qp_tot, stat, aa, hist, gstate,
+             _res_prev) = carry
             qp = linearize(form, static_rows, data, it, lm)
             rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
             stat = stat.at[k, 0].set(rs).at[k, 1].set(re) \
@@ -564,7 +565,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             # k advances only when we actually stepped
             k_new = jnp.where(converged, k, k + 1)
             return (it_new, k_new, new_status, done, qp_tot, stat, aa,
-                    hist, gstate)
+                    hist, gstate, (rs, re, ri, rc))
 
         status0 = jnp.asarray(2, jnp.int32)  # MAXITER unless terminated
         zero_step = jax.tree.map(jnp.zeros_like, init)
@@ -589,15 +590,27 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                    dtype), jnp.asarray(False))
         else:
             gstate0 = ()
+        zero4 = tuple(jnp.zeros((), dtype) for _ in range(4))
         carry0 = (init, jnp.asarray(0, jnp.int32), status0,
                   jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0,
-                  aa0, hist0, gstate0)
+                  aa0, hist0, gstate0, zero4)
         (it, k, status, done, qp_tot, stat, _aa, hist,
-         _gs) = jax.lax.while_loop(cond, body, carry0)
+         _gs, res_last) = jax.lax.while_loop(cond, body, carry0)
 
-        # final residuals at the returned iterate
-        qp = linearize(form, static_rows, data, it, lm)
-        rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
+        if opts.rti:
+            # RTI semantics (reference ocp_nlp_sqp_rti.c): no
+            # re-linearization after the feedback step — the reported
+            # residuals are the ones evaluated at the preparation
+            # linearization point (one RTI call stale; identical at the
+            # warm-started steady state the bench asserts). Saves a full
+            # linearize per call.
+            rs, re, ri, rc = res_last
+        else:
+            # final residuals at the returned iterate (reference SQP
+            # evaluates residuals at the top of each iteration incl. the
+            # exit one, ocp_nlp_sqp.c:556-568)
+            qp = linearize(form, static_rows, data, it, lm)
+            rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
         stat = stat.at[k, 0].set(rs).at[k, 1].set(re).at[k, 2].set(ri) \
                    .at[k, 3].set(rc)
         converged = ((rs < opts.tol_stat) & (re < opts.tol_eq)

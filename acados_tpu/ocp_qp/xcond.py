@@ -39,23 +39,28 @@ def resolve_cond_N(N: int, cond_N) -> int | None:
 @partial(jax.jit, static_argnames=("cond_N", "full_cond"))
 def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
                        full_cond: bool = False,
-                       warm: OcpQpSol | None = None):
+                       warm: OcpQpSol | None = None, backend=None):
     """Solve an OcpQp through the condensing front-end.
 
     cond_N: partial-condensing horizon (must divide N; use resolve_cond_N);
       None = no condensing (direct Riccati IPM, HPIPM's N2 == N default).
     full_cond: condense to a dense QP and solve with the dense IPM.
+    backend: OCP-QP backend callable (qp, opts, warm=) for the (partially
+      condensed) QP; None = the Riccati IPM (reference: the xcond wrapper
+      composes {condensing} x {any backend}, ocp_qp_xcond_solver.c:551-573).
     Returns (OcpQpSol in original coordinates, IpmInfo).
     """
     if opts is None:
         opts = IpmOpts()
+    if backend is None:
+        backend = solve_ocp_qp
     if full_cond:
         dense, cache = full_condense(qp)
         sol_d, info = solve_dense_qp(dense, opts)
         return full_expand(qp, cache, sol_d), info
     if cond_N is None or cond_N >= qp.dims.N:
-        return solve_ocp_qp(qp, opts, warm=warm)
+        return backend(qp, opts, warm=warm)
     qp_c, cache = partial_condense(qp, cond_N)
     warm_c = None if warm is None else condense_warm(warm, cond_N)
-    sol_c, info = solve_ocp_qp(qp_c, opts, warm=warm_c)
+    sol_c, info = backend(qp_c, opts, warm=warm_c)
     return partial_expand(qp, cache, sol_c), info

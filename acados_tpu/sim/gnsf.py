@@ -220,6 +220,28 @@ def detect_gnsf_structure(f_expl, nx: int, nu: int, p=None,
     rng = np.random.default_rng(seed)
     f = lambda x, u: np.asarray(f_expl(jnp.asarray(x), jnp.asarray(u),
                                        jnp.asarray(p), 0.0))
+
+    # The detected structure (linear operators + phi) is baked at the
+    # probe parameter/time; a runtime `set('p')` or time-varying dynamics
+    # would silently integrate the wrong model (reference sim_gnsf feeds
+    # runtime p to its phi external functions). Refuse and fall back to
+    # IRK when the dynamics actually depend on p or t.
+    xs = rng.normal(size=(3, nx))
+    us = rng.normal(size=(3, nu))
+    for xk, uk in zip(xs, us):
+        f0 = np.asarray(f_expl(jnp.asarray(xk), jnp.asarray(uk),
+                               jnp.asarray(p), 0.0))
+        ft = np.asarray(f_expl(jnp.asarray(xk), jnp.asarray(uk),
+                               jnp.asarray(p), 0.7321))
+        if np.abs(ft - f0).max() > tol:
+            return None  # time-dependent dynamics
+        if len(np.atleast_1d(p)):
+            p2 = np.asarray(p, float) + rng.normal(
+                size=np.atleast_1d(p).shape)
+            fp = np.asarray(f_expl(jnp.asarray(xk), jnp.asarray(uk),
+                                   jnp.asarray(p2), 0.0))
+            if np.abs(fp - f0).max() > tol:
+                return None  # parameter-dependent dynamics
     jac = jax.jit(jax.jacfwd(
         lambda xu: f_expl(xu[:nx], xu[nx:], jnp.asarray(p), 0.0)))
 

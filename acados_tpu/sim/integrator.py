@@ -119,6 +119,30 @@ def make_step_fn(f_expl=None, f_impl=None, nx=None, nz=0,
     raise ValueError(f"unknown integrator_type {opts.integrator_type}")
 
 
+def make_step_jac_fn(f_expl=None, f_impl=None, nx=None, nz=0,
+                     opts: SimOpts = None, jac_reuse: bool = False):
+    """Build step_jac(x, u, p, t0, dt) -> (x_next, A, B) — the fused
+    step + forward-sensitivity evaluation the SQP linearization uses
+    (reference: sim call packing S_forw into BAbt,
+    ocp_nlp_dynamics_cont.c:842-851).
+
+    Returns None for integrator types without a dedicated fast path
+    (the caller then falls back to `jax.jacfwd` of the plain step).
+    """
+    opts = opts or SimOpts()
+    if opts.integrator_type in ("IRK", "LIFTED_IRK"):
+        if f_impl is not None:
+            fi = normalize_implicit_dynamics(f_impl)
+        else:
+            fi = implicit_from_explicit(normalize_dynamics(f_expl))
+        from acados_tpu.sim.irk import make_irk_step_jac
+        return make_irk_step_jac(
+            fi, nx=nx, nz=nz, num_stages=opts.num_stages,
+            num_steps=opts.num_steps, newton_iter=opts.newton_iter,
+            collocation=opts.collocation_type, jac_reuse=jac_reuse)
+    return None
+
+
 @pytree_dataclass
 class SimOut:
     """Mirrors reference sim_out (sim_common.h:102-117)."""

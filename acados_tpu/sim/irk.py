@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from acados_tpu.ops.linsolve import gj_inverse, linsolve
 from acados_tpu.sim.butcher import gauss_legendre_tableau, radau_iia_tableau
 
 
@@ -83,14 +84,14 @@ def make_irk_step(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
         def newton_solve(res, w0):
             def it(w, _):
                 J = jax.jacfwd(res)(w)
-                w = w - jnp.linalg.solve(J, res(w))
+                w = w - linsolve(J, res(w))
                 return w, None
             w, _ = jax.lax.scan(it, w0, None, length=newton_iter)
             return w
 
         def tangent_solve(g, y):
             J = jax.jacfwd(g)(jnp.zeros_like(y))
-            return jnp.linalg.solve(J, y)
+            return linsolve(J, y)
 
         def substep(carry, i):
             x_k, w_prev = carry
@@ -110,6 +111,94 @@ def make_irk_step(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
         return x_out, z_out
 
     return jax.jit(step)
+
+
+def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
+                      num_steps: int = 1, newton_iter: int = 3,
+                      collocation: str = "GAUSS_LEGENDRE",
+                      jac_reuse: bool = False):
+    """Build an IRK step that also returns the step Jacobians (A, B).
+
+    This is the forward-VDE analog of the reference's in-integrator
+    sensitivity propagation (sim_irk_integrator.c:1545-1629: the stage
+    Jacobian is factorized ONCE per step and back-substituted for all
+    nx+nu sensitivity right-hand sides). The generic path — `jax.jacfwd`
+    over `make_irk_step`'s `custom_root` — re-linearizes the stage system
+    per tangent (42 redundant Jacobian builds for a chain-mass stage);
+    this dedicated path builds the (ns*(nx+nz))^2 Jacobian `newton_iter`
+    (+1) times for the Newton solve and reuses ONE LU factorization for
+    the whole (nx+nu)-column sensitivity solve. It is the SQP/RTI
+    linearization hot path (ocp_nlp_dynamics_cont.c:789-851 equivalent).
+
+    jac_reuse mirrors the reference sim opt `jac_reuse` (sim_common.h:139):
+    True freezes the Newton Jacobian at the predictor point (1 build/step).
+
+    Returns step_jac(x, u, p, t0, dt) -> (x_next, A, B) with
+    A = dx_next/dx (nx, nx), B = dx_next/du (nx, nu).
+    """
+    if collocation.upper() in ("GAUSS_LEGENDRE", "GAUSS"):
+        A_t, b_t, c_t = gauss_legendre_tableau(num_stages)
+    elif collocation.upper() in ("RADAU_IIA", "RADAU"):
+        A_t, b_t, c_t = radau_iia_tableau(num_stages)
+    else:
+        raise ValueError(f"unknown collocation {collocation}")
+    ns = num_stages
+    nw = ns * (nx + nz)
+
+    def step_jac(x, u, p, t0, dt):
+        h = dt / num_steps
+        A_ = jnp.asarray(A_t, x.dtype)
+        b_ = jnp.asarray(b_t, x.dtype)
+        c_ = c_t.astype(x.dtype)
+        eye = jnp.eye(nx, dtype=x.dtype)
+
+        def res_of(w, x0, uu, t):
+            K = w[: ns * nx].reshape(ns, nx)
+            Z = w[ns * nx:].reshape(ns, nz)
+            xi = x0[None, :] + h * (A_ @ K)
+            r = [f_impl(K[i], xi[i], Z[i], uu, p, t + c_[i] * h)
+                 for i in range(ns)]
+            return jnp.concatenate(r)
+
+        # explicit inverse on TPU: every solve below becomes an MXU
+        # matmul; pivoted LAPACK LU elsewhere (tests/oracles)
+        inv = (gj_inverse if jax.default_backend() == "tpu"
+               else jnp.linalg.inv)
+
+        def substep(carry, i):
+            x_k, Sx, Su, w = carry
+            t = t0 + i * h
+            Ji = None
+            for it_ in range(newton_iter):
+                if it_ == 0 or not jac_reuse:
+                    J = jax.jacfwd(res_of)(w, x_k, u, t)
+                    Ji = inv(J)
+                w = w - Ji @ res_of(w, x_k, u, t)
+            if not jac_reuse:
+                # refresh at the converged root so the implicit-function
+                # sensitivities are exact there (reference refactorizes
+                # for sens_forw, sim_irk_integrator.c:1545)
+                J = jax.jacfwd(res_of)(w, x_k, u, t)
+                Ji = inv(J)
+            Rx = jax.jacfwd(res_of, argnums=1)(w, x_k, u, t)
+            Ru = jax.jacfwd(res_of, argnums=2)(w, x_k, u, t)
+            dW = -(Ji @ jnp.concatenate([Rx, Ru], axis=1))
+            dK = dW[: ns * nx].reshape(ns, nx, nx + nu)
+            x_next = x_k + h * (b_ @ w[: ns * nx].reshape(ns, nx))
+            G = h * jnp.einsum("s,sij->ij", b_, dK)
+            A_sub = eye + G[:, :nx]
+            B_sub = G[:, nx:]
+            return (x_next, A_sub @ Sx, A_sub @ Su + B_sub, w), None
+
+        nu = u.shape[-1]
+        (x_out, Sx, Su, _w), _ = jax.lax.scan(
+            substep, (x, jnp.eye(nx, dtype=x.dtype),
+                      jnp.zeros((nx, nu), x.dtype),
+                      jnp.zeros((nw,), x.dtype)),
+            jnp.arange(num_steps))
+        return x_out, Sx, Su
+
+    return jax.jit(step_jac)
 
 
 def implicit_from_explicit(f_expl):

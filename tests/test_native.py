@@ -1,4 +1,4 @@
-"""Native C++ runtime library tests (timers, flat pack, binary iterate
+"""Host runtime helper tests (timers, flat pack, binary iterate
 checkpoints) plus the solver-level .atni round trip."""
 import numpy as np
 import pytest
@@ -8,9 +8,10 @@ from acados_tpu.native import (load_iterate_bin, monotonic_time,
                                unpack_flat)
 
 
-def test_native_builds():
-    """g++ is in the image; the C++ library must actually build."""
-    assert native_available()
+def test_native_removed():
+    """The C++ duplicate was deliberately removed (round-2 review): the
+    host helpers are IO-bound and the pure-numpy path is the product."""
+    assert not native_available()
 
 
 def test_monotonic_time():
