@@ -129,6 +129,10 @@ def make_chain_mass_ocp(n_mass=5, N=40, Ts=0.2, with_wall=True,
     ocp.solver_options.integrator_type = "IRK"
     ocp.solver_options.sim_method_num_stages = 2
     ocp.solver_options.sim_method_num_steps = 2
+    # one stage-Jacobian factorization per integration step (reference
+    # sim opt jac_reuse); the closed-loop residual tolerance is asserted
+    # by the tests/bench, which is the honest accuracy gate
+    ocp.solver_options.sim_method_jac_reuse = True
     ocp.solver_options.nlp_solver_type = "SQP_RTI"
     ocp.solver_options.dtype = dtype
     return ocp, xrest

@@ -25,7 +25,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from acados_tpu.ops.small_chol import (UNROLL_MAX_N, cho_solve_unrolled,
+                                       chol_unrolled)
 from acados_tpu.utils.struct import pytree_dataclass
+
+
+def _chol(H):
+    """Cholesky dispatch: unrolled jnp for tiny static n (fuses into the
+    scan body — XLA's cholesky custom-call overhead dominates there),
+    stock XLA above the unroll cap."""
+    if H.shape[-1] <= UNROLL_MAX_N:
+        return chol_unrolled(H)
+    return jnp.linalg.cholesky(H)
+
+
+def _cho_solve(L, B):
+    if L.shape[-1] <= UNROLL_MAX_N:
+        return cho_solve_unrolled(L, B)
+    return jax.scipy.linalg.cho_solve((L, True), B)
 
 
 @pytree_dataclass
@@ -64,8 +81,8 @@ def riccati_factor(Qb, Rb, Sb, A, B, reg_eps: float = 0.0) -> RiccatiFactor:
         PB = P @ B_k
         Huu = Rb_k + B_k.T @ PB
         Hux = Sb_k + B_k.T @ PA
-        Luu = jnp.linalg.cholesky(Huu + eye_u)
-        K = -jax.scipy.linalg.cho_solve((Luu, True), Hux)
+        Luu = _chol(Huu + eye_u)
+        K = -_cho_solve(Luu, Hux)
         P_new = Qb_k + A_k.T @ PA + Hux.T @ K
         P_new = 0.5 * (P_new + P_new.T)
         return P_new, (P, Luu, K)
@@ -92,7 +109,7 @@ def riccati_backward(fact: RiccatiFactor, A, B, qb, rb, b):
         A_k, B_k, P_k1, Luu, K, qb_k, rb_k, b_k = inp
         Pb_p = P_k1 @ b_k + p
         h_u = rb_k + B_k.T @ Pb_p
-        kff = -jax.scipy.linalg.cho_solve((Luu, True), h_u)
+        kff = -_cho_solve(Luu, h_u)
         p_new = qb_k + A_k.T @ Pb_p + K.T @ h_u
         return p_new, (kff, p)
 
@@ -123,7 +140,7 @@ def riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
         A_k, B_k, P_k1, Luu, K, qb_k, rb_k, b_k = inp
         Pb_p = P_k1 @ b_k + p
         h_u = rb_k + B_k.T @ Pb_p
-        kff = -jax.scipy.linalg.cho_solve((Luu, True), h_u)
+        kff = -_cho_solve(Luu, h_u)
         p_new = qb_k + A_k.T @ Pb_p + K.T @ h_u
         return p_new, (kff, p)
 
@@ -205,11 +222,9 @@ def parallel_riccati_factor(Qb, Rb, Sb, A, B,
     eye_x = jnp.eye(nx, dtype=dt)
 
     # per-stage elimination of u (batched over stages)
-    LR = jnp.linalg.cholesky(Rb + eye_u)
-    RiS = jax.vmap(lambda L, S_: jax.scipy.linalg.cho_solve((L, True),
-                                                            S_))(LR, Sb)
-    RiBt = jax.vmap(lambda L, B_: jax.scipy.linalg.cho_solve(
-        (L, True), B_.T))(LR, B)
+    LR = _chol(Rb + eye_u)
+    RiS = _cho_solve(LR, Sb)
+    RiBt = _cho_solve(LR, jnp.swapaxes(B, -1, -2))
     A_e = A - jnp.einsum("kij,kjl->kil", B, RiS)
     C_e = jnp.einsum("kij,kjl->kil", B, RiBt)
     J_e = Qb[:-1] - jnp.einsum("kji,kjl->kil", Sb, RiS)
@@ -242,9 +257,8 @@ def parallel_riccati_factor(Qb, Rb, Sb, A, B,
     PA = jnp.einsum("kij,kjl->kil", P1, A)
     Huu = Rb + jnp.einsum("kji,kjl->kil", B, PB)
     Hux = Sb + jnp.einsum("kji,kjl->kil", B, PA)
-    Luu = jnp.linalg.cholesky(Huu + eye_u)
-    K = -jax.vmap(lambda L, H: jax.scipy.linalg.cho_solve((L, True),
-                                                          H))(Luu, Hux)
+    Luu = _chol(Huu + eye_u)
+    K = -_cho_solve(Luu, Hux)
     LP0 = jnp.linalg.cholesky(P[0] + reg_eps * eye_x)
     return RiccatiFactor(P=P, Luu=Luu, K=K, LP0=LP0)
 
@@ -269,9 +283,7 @@ def parallel_riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
     p = v_suf  # p_k for k = 0..N (suffix maps applied to p_{N+1} = 0)
 
     h_u = rb + jnp.einsum("kji,kj->ki", B, Pb + p[1:])
-    kff = -jax.vmap(lambda L, h: jax.scipy.linalg.cho_solve((L, True),
-                                                            h))(fact.Luu,
-                                                                h_u)
+    kff = -_cho_solve(fact.Luu, h_u)
     if dx0 is None:
         dx0 = -jax.scipy.linalg.cho_solve((fact.LP0, True), p[0])
 

@@ -67,14 +67,17 @@ def gj_inverse(A: jnp.ndarray) -> jnp.ndarray:
 def linsolve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b for batched small A.
 
-    On TPU uses the Gauss-Jordan inverse + matmul; elsewhere defers to
-    XLA/LAPACK. b: (..., n) or (..., n, m).
+    On TPU uses the lane-batched Pallas Gauss-Jordan inverse + matmul
+    (ops.batched_inv); elsewhere defers to XLA/LAPACK.
+    b: (..., n) or (..., n, m).
     """
     if jax.default_backend() != "tpu":
         if b.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, b[..., None])[..., 0]
         return jnp.linalg.solve(A, b)
-    Ainv = gj_inverse(A)
-    if b.ndim == A.ndim - 1:
-        return jnp.einsum("...ij,...j->...i", Ainv, b)
-    return Ainv @ b
+    from acados_tpu.ops.batched_inv import gj_inverse_any
+    Ainv = gj_inverse_any(A)
+    with jax.default_matmul_precision("highest"):
+        if b.ndim == A.ndim - 1:
+            return jnp.einsum("...ij,...j->...i", Ainv, b)
+        return Ainv @ b

@@ -160,10 +160,13 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
                  for i in range(ns)]
             return jnp.concatenate(r)
 
-        # explicit inverse on TPU: every solve below becomes an MXU
-        # matmul; pivoted LAPACK LU elsewhere (tests/oracles)
-        inv = (gj_inverse if jax.default_backend() == "tpu"
-               else jnp.linalg.inv)
+        # explicit inverse on TPU (lane-batched Pallas kernel): every
+        # solve below becomes an MXU matmul; pivoted LAPACK LU elsewhere
+        # (tests/oracles)
+        if jax.default_backend() == "tpu":
+            from acados_tpu.ops.batched_inv import gj_inverse_any as inv
+        else:
+            inv = jnp.linalg.inv
 
         def substep(carry, i):
             x_k, Sx, Su, w = carry

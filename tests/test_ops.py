@@ -3,6 +3,7 @@ compiles). Oracle: numpy LAPACK on the identical batch."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from acados_tpu.ops import (chol_factor_batched, chol_factor_solve_batched,
@@ -46,3 +47,97 @@ def test_f32_batch_padding():
     assert L.shape == (B, n, n)
     np.testing.assert_allclose(L, np.linalg.cholesky(H.astype(np.float64)),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# general linear solves (ops/linsolve.py, ops/batched_inv.py)
+# ---------------------------------------------------------------------------
+
+def test_gj_inverse_xla():
+    """Masked Gauss-Jordan with partial pivoting vs LAPACK (f64)."""
+    from acados_tpu.ops.linsolve import gj_inverse
+    rng = np.random.default_rng(0)
+    for n in (1, 3, 16, 78):
+        A = rng.normal(size=(25, n, n))
+        if n > 1:
+            A[0, 0, 0] = 0.0  # force a pivot
+        Ai = np.asarray(gj_inverse(jnp.asarray(A)))
+        np.testing.assert_allclose(Ai, np.linalg.inv(A), atol=1e-8)
+    # unbatched
+    A = rng.normal(size=(9, 9))
+    np.testing.assert_allclose(np.asarray(gj_inverse(jnp.asarray(A))),
+                               np.linalg.inv(A), atol=1e-9)
+
+
+def test_linsolve_matches_solve():
+    from acados_tpu.ops.linsolve import linsolve
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(12, 7, 7)) + 3 * np.eye(7)
+    b = rng.normal(size=(12, 7))
+    np.testing.assert_allclose(np.asarray(linsolve(jnp.asarray(A),
+                                                   jnp.asarray(b))),
+                               np.linalg.solve(A, b[..., None])[..., 0],
+                               atol=1e-10)
+
+
+def test_pallas_inverse_kernel_interpret():
+    """Lane-batched Pallas GJ kernel (interpret mode on CPU) + the
+    Schur-complement recursion above the VMEM size cap."""
+    from acados_tpu.ops.batched_inv import (_gj_inverse_pallas,
+                                            _schur_inverse)
+    rng = np.random.default_rng(2)
+    A = (np.eye(13) - 0.1 * rng.normal(size=(10, 13, 13))).astype(np.float32)
+    Ai = np.asarray(_gj_inverse_pallas(jnp.asarray(A)))
+    np.testing.assert_allclose(Ai, np.linalg.inv(A.astype(np.float64)),
+                               atol=2e-4)
+    # Schur path (n > 48): pallas base case in interpret mode
+    A = (np.eye(60) - 0.05 * rng.normal(size=(4, 60, 60))).astype(np.float32)
+    Ai = np.asarray(_schur_inverse(jnp.asarray(A)))
+    np.testing.assert_allclose(Ai, np.linalg.inv(A.astype(np.float64)),
+                               atol=5e-3)
+
+
+def test_gj_inverse_any_nested_vmap_and_ad():
+    """custom_vmap collapse under nested vmap + custom_jvp identity."""
+    from acados_tpu.ops.batched_inv import gj_inverse_any
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(3, 5, 6, 6)) + 4 * np.eye(6)
+    out = np.asarray(jax.jit(jax.vmap(jax.vmap(gj_inverse_any)))(
+        jnp.asarray(A)))
+    np.testing.assert_allclose(out, np.linalg.inv(A), atol=1e-9)
+    # forward-mode: d(A^-1) = -A^-1 dA A^-1
+    A1 = jnp.asarray(rng.normal(size=(6, 6)) + 4 * np.eye(6))
+    dA = jnp.asarray(rng.normal(size=(6, 6)))
+    _, tang = jax.jvp(gj_inverse_any, (A1,), (dA,))
+    Ai = np.linalg.inv(np.asarray(A1))
+    np.testing.assert_allclose(np.asarray(tang), -Ai @ np.asarray(dA) @ Ai,
+                               atol=1e-9)
+    # reverse-mode transposes the linear tangent map
+    g = jax.grad(lambda M: jnp.sum(gj_inverse_any(M) ** 2))(A1)
+    g_ref = jax.grad(lambda M: jnp.sum(jnp.linalg.inv(M) ** 2))(A1)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-8)
+
+
+def test_irk_step_jac_matches_jacfwd():
+    """The fused step+Jacobian fast path == jacfwd of the plain step."""
+    from acados_tpu.sim.irk import (implicit_from_explicit, make_irk_step,
+                                    make_irk_step_jac)
+    from acados_tpu.models.pendulum import pendulum_ode
+    f_impl = implicit_from_explicit(pendulum_ode)
+    step = make_irk_step(f_impl, nx=4, num_stages=3, num_steps=2,
+                         newton_iter=5)
+    step_jac = make_irk_step_jac(f_impl, nx=4, num_stages=3, num_steps=2,
+                                 newton_iter=5)
+    x = jnp.asarray([0.1, 0.6, -0.2, 0.3])
+    u = jnp.asarray([1.5])
+    p = jnp.zeros((0,))
+    xn_ref, _ = step(x, u, p, 0.0, 0.08)
+    w = jnp.concatenate([x, u])
+    J_ref = jax.jacfwd(lambda ww: step(ww[:4], ww[4:], p, 0.0, 0.08)[0])(w)
+    xn, A, B = step_jac(x, u, p, 0.0, 0.08)
+    np.testing.assert_allclose(np.asarray(xn), np.asarray(xn_ref),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(J_ref[:, :4]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(B), np.asarray(J_ref[:, 4:]),
+                               atol=1e-8)
