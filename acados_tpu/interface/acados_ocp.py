@@ -75,6 +75,17 @@ class AcadosModel:
     con_r_expr: Optional[Callable] = None
     con_phi_expr_e: Optional[Callable] = None
     con_r_expr_e: Optional[Callable] = None
+    # global parameters (reference model.p_global + np_global,
+    # ocp_nlp_common.h:165-166): shared across all stages, set once via
+    # AcadosOcpSolver.set_p_global_and_precompute_dependencies. Stage
+    # callables see them as the TAIL of the stage parameter vector:
+    # p_full = [p_stage | p_global | global_data], where global_data is
+    # the output of p_global_precompute_fun(p_global) — the analog of
+    # the reference's p_global_precompute_fun.in.h (expensive
+    # p_global-only expressions evaluated once per p_global change, not
+    # per stage per iteration).
+    p_global: object = None
+    p_global_precompute_fun: Optional[Callable] = None
     x_labels: list = None
     u_labels: list = None
     t_label: str = "t"
@@ -97,6 +108,10 @@ class AcadosOcpCost:
     Vu: Optional[np.ndarray] = None
     W: Optional[np.ndarray] = None
     yref: Optional[np.ndarray] = None
+    # algebraic-variable residual blocks (reference ocp_nlp_cost_ls.c:243
+    # Vz): y = Vx x + Vu u + Vz z; requires an IRK DAE model
+    Vz: Optional[np.ndarray] = None
+    Vz_0: Optional[np.ndarray] = None
     Vx_e: Optional[np.ndarray] = None
     W_e: Optional[np.ndarray] = None
     yref_e: Optional[np.ndarray] = None
@@ -198,8 +213,16 @@ class AcadosOcpOptions:
     time_steps: Optional[np.ndarray] = None
     shooting_nodes: Optional[np.ndarray] = None
     qp_solver: str = "PARTIAL_CONDENSING_HPIPM"  # accepted + mapped
+    # IPM preset (reference hpipm_mode, acados_ocp_options.py:133):
+    # BALANCE | SPEED | SPEED_ABS | ROBUST -> IpmOpts iter_max/tau
+    hpipm_mode: str = "BALANCE"
     hessian_approx: str = "GAUSS_NEWTON"
     integrator_type: str = "ERK"
+    # EULER (default): stage cost * dt. INTEGRATOR: the Lagrange cost is
+    # integrated along the RK stages of the dynamics integrator
+    # (reference acados_ocp_options cost_discretization; CI pins the
+    # integrated value to 1e-10, test_cost_integration_value.py:46)
+    cost_discretization: str = "EULER"
     nlp_solver_type: str = "SQP_RTI"
     globalization: str = "FIXED_STEP"
     nlp_solver_max_iter: int = 100
@@ -254,11 +277,21 @@ class AcadosOcpOptions:
     # QP scaling (reference ocp_nlp_qpscaling.c; NO_SCALING |
     # OBJECTIVE_GERSHGORIN)
     qpscaling_scale_objective: str = "NO_SCALING"
-    # wall-clock budget checked after the compiled solve returns
-    # (reference checks per-iteration, ocp_nlp_sqp.c:436; inside one XLA
-    # program a mid-solve check is not possible, so exceeding the budget
-    # flags ACADOS_TIMEOUT post-hoc). 0 = no timeout.
+    # wall-clock budget. For single-instance solves the budget is
+    # enforced INSIDE the loop with per-iteration time prediction
+    # (reference ocp_nlp_sqp.c:436,611-635; heuristic below); the
+    # batched path falls back to a post-hoc check. 0 = no timeout.
     timeout_max_time: float = 0.0
+    # prediction heuristic for the next iteration's duration:
+    # ZERO | LAST | MAX | AVERAGE (reference timeout_heuristic)
+    timeout_heuristic: str = "ZERO"
+    # adaptive Levenberg-Marquardt (reference acados_ocp_options.py:
+    # 136-140): the LM diagonal shrinks by /lam on residual decrease and
+    # grows by *lam otherwise, floored at mu_min
+    with_adaptive_levenberg_marquardt: bool = False
+    adaptive_levenberg_marquardt_lam: float = 5.0
+    adaptive_levenberg_marquardt_mu_min: float = 1e-16
+    adaptive_levenberg_marquardt_mu0: float = 1e-3
     # accepted for compatibility (warm starts are explicit in this
     # framework: RTI caches / solve_ocp_qp(warm=...))
     qp_solver_warm_start: int = 0
@@ -290,6 +323,8 @@ class AcadosOcp:
     solver_options: AcadosOcpOptions = dataclasses.field(
         default_factory=AcadosOcpOptions)
     parameter_values: Optional[np.ndarray] = None
+    # initial global-parameter values (reference ocp.p_global_values)
+    p_global_values: Optional[np.ndarray] = None
     # zoRO custom update description (reference ocp.zoro_description,
     # zoro_description.py:42-103); see interface/zoro.py
     zoro_description: object = None

@@ -34,6 +34,30 @@ def _norm4(f):
     return f
 
 
+def _norm_z(f):
+    """Normalize a stage callable that may reference the algebraic
+    variable z. Returns (fn, with_z):
+      with_z=False: fn(x, u, p, t)   (plain _norm4 path)
+      with_z=True:  fn(x, u, z, p, t)
+    z participation is declared by a parameter literally named 'z'
+    (reference analog: the CasADi expression containing model.z;
+    problem formulation tex:125 l(x,u,z,...), h(x,u,z,...))."""
+    if f is None:
+        return None, False
+    params = list(inspect.signature(f).parameters)
+    if "z" not in params:
+        return _norm4(f), False
+    n = len(params)
+    if n == 3:    # (x, u, z)
+        return (lambda x, u, z, p, t: f(x, u, z)), True
+    if n == 4:    # (x, u, z, p)
+        return (lambda x, u, z, p, t: f(x, u, z, p)), True
+    if n == 5:    # (x, u, z, p, t)
+        return f, True
+    raise ValueError("z-dependent expressions must take "
+                     "(x, u, z[, p[, t]])")
+
+
 def _norm_term(f):
     """Normalize terminal (x[, p[, t]]) callables to (x, u, p, t)."""
     if f is None:
@@ -59,6 +83,22 @@ class StageLayout:
         self.off_h = self.off_g + self.ng
         self.off_phi = self.off_h + self.nh
         self.nrows = spec.nrows
+
+
+def _linear_ls_yfun_z(Vx, Vu, Vz):
+    """LINEAR_LS with an algebraic block: y = Vx x + Vu u + Vz z
+    (reference ocp_nlp_cost_ls.c:243 Vz)."""
+    Vx = np.asarray(Vx, np.float64)
+    Vu = None if Vu is None else np.asarray(Vu, np.float64)
+    Vz = np.asarray(Vz, np.float64)
+
+    def y(x, u, z, p, t):
+        out = jnp.asarray(Vx, x.dtype) @ x + jnp.asarray(Vz, x.dtype) @ z
+        if Vu is not None:
+            out = out + jnp.asarray(Vu, x.dtype) @ u
+        return out
+
+    return y, Vx.shape[0]
 
 
 def _linear_ls_yfun(Vx, Vu):
@@ -163,42 +203,51 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
         if kind == "LINEAR_LS":
             Vx = c.Vx_0 if c.Vx_0 is not None else c.Vx
             Vu = c.Vu_0 if c.Vu_0 is not None else c.Vu
+            Vz = c.Vz_0 if c.Vz_0 is not None else c.Vz
+            if Vz is not None:
+                y, ny = _linear_ls_yfun_z(Vx, Vu, Vz)
+                return CostSpec(kind=kind, ny=ny, y_fun=y, with_z=True)
             y, ny = _linear_ls_yfun(Vx, Vu)
             return CostSpec(kind=kind, ny=ny, y_fun=y,
                             Vx=np.asarray(Vx, np.float64),
                             Vu=None if Vu is None
                             else np.asarray(Vu, np.float64))
         if kind == "NONLINEAR_LS":
-            f = _norm4(m.cost_y_expr_0 or m.cost_y_expr)
+            f, wz = _norm_z(m.cost_y_expr_0 or m.cost_y_expr)
             yref = c.yref_0 if c.yref_0 is not None else c.yref
-            return CostSpec(kind=kind, ny=_dim_of(yref), y_fun=f)
+            return CostSpec(kind=kind, ny=_dim_of(yref), y_fun=f,
+                            with_z=wz)
         if kind == "CONL":
-            f = _norm4(m.cost_y_expr_0 or m.cost_y_expr)
+            f, wz = _norm_z(m.cost_y_expr_0 or m.cost_y_expr)
             psi = m.cost_psi_expr_0 or m.cost_psi_expr
             return CostSpec(kind=kind, ny=_dim_of(c.yref_0 if c.yref_0 is
                                                   not None else c.yref),
-                            y_fun=f, psi_fun=psi)
+                            y_fun=f, psi_fun=psi, with_z=wz)
         if kind == "EXTERNAL":
-            f = _norm4(m.cost_expr_ext_cost_0 or m.cost_expr_ext_cost)
-            return CostSpec(kind=kind, ext_fun=f)
+            f, wz = _norm_z(m.cost_expr_ext_cost_0 or m.cost_expr_ext_cost)
+            return CostSpec(kind=kind, ext_fun=f, with_z=wz)
     elif which == "path":
         kind = c.cost_type
         if kind == "LINEAR_LS":
+            if c.Vz is not None:
+                y, ny = _linear_ls_yfun_z(c.Vx, c.Vu, c.Vz)
+                return CostSpec(kind=kind, ny=ny, y_fun=y, with_z=True)
             y, ny = _linear_ls_yfun(c.Vx, c.Vu)
             return CostSpec(kind=kind, ny=ny, y_fun=y,
                             Vx=np.asarray(c.Vx, np.float64),
                             Vu=None if c.Vu is None
                             else np.asarray(c.Vu, np.float64))
         if kind == "NONLINEAR_LS":
-            return CostSpec(kind=kind, ny=_dim_of(c.yref),
-                            y_fun=_norm4(m.cost_y_expr))
+            f, wz = _norm_z(m.cost_y_expr)
+            return CostSpec(kind=kind, ny=_dim_of(c.yref), y_fun=f,
+                            with_z=wz)
         if kind == "CONL":
-            return CostSpec(kind=kind, ny=_dim_of(c.yref),
-                            y_fun=_norm4(m.cost_y_expr),
-                            psi_fun=m.cost_psi_expr)
+            f, wz = _norm_z(m.cost_y_expr)
+            return CostSpec(kind=kind, ny=_dim_of(c.yref), y_fun=f,
+                            psi_fun=m.cost_psi_expr, with_z=wz)
         if kind == "EXTERNAL":
-            return CostSpec(kind=kind,
-                            ext_fun=_norm4(m.cost_expr_ext_cost))
+            f, wz = _norm_z(m.cost_expr_ext_cost)
+            return CostSpec(kind=kind, ext_fun=f, with_z=wz)
     else:
         kind = c.cost_type_e or c.cost_type
         if kind == "LINEAR_LS":
@@ -227,6 +276,80 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
     raise ValueError(f"unsupported cost type {kind!r}")
 
 
+def _wrap_cost_integrator(spec, f4, num_stages: int, num_steps: int):
+    """cost_discretization = INTEGRATOR: evaluate the Lagrange cost at
+    the ERK quadrature points of the dynamics integrator instead of the
+    Euler point (reference acados_ocp_options cost_discretization;
+    exact-value CI oracle test_cost_integration_value.py:46).
+
+    LS family: the integral of the weighted residual norm IS a weighted
+    least squares over the stacked stage residuals, so Gauss-Newton
+    structure is preserved exactly (sum_q w_q J_q' W J_q). EXTERNAL:
+    plain quadrature of the scalar cost. The external dt scaling
+    (NlpData.cost_scale = dts) provides the h factor.
+    """
+    import dataclasses as _dc
+
+    from acados_tpu.sim.butcher import erk_tableau
+
+    if spec.with_z:
+        raise NotImplementedError(
+            "cost_discretization INTEGRATOR with z-dependent cost")
+    if spec.kind == "CONL":
+        raise NotImplementedError(
+            "cost_discretization INTEGRATOR with CONL (reference "
+            "supports LS/EXTERNAL; reformulate psi into the residual)")
+    A_t, b_t, c_t = erk_tableau(num_stages)
+    ns, m = num_stages, num_steps
+
+    def stage_points(x, u, p, t, dtk):
+        h = dtk / m
+        Ax = A_t.astype(x.dtype)
+        bx = b_t.astype(x.dtype)
+        cx = c_t.astype(x.dtype)
+        pts_x, pts_t = [], []
+        xcur = x
+        for s_ in range(m):
+            t0 = t + s_ * h
+            ks = []
+            for si in range(ns):
+                xi = xcur
+                for sj in range(si):
+                    if A_t[si, sj] != 0.0:
+                        xi = xi + (h * Ax[si, sj]) * ks[sj]
+                ks.append(f4(xi, u, p, t0 + cx[si] * h))
+                pts_x.append(xi)
+                pts_t.append(t0 + cx[si] * h)
+            for sj in range(ns):
+                xcur = xcur + (h * bx[sj]) * ks[sj]
+        return pts_x, pts_t
+
+    wq = np.tile(np.asarray(b_t, np.float64) / m, m)   # sums to 1
+    if spec.kind in ("LINEAR_LS", "NONLINEAR_LS"):
+        y0 = spec.y_fun
+
+        def y_int(x, u, p, t, dtk):
+            pts_x, pts_t = stage_points(x, u, p, t, dtk)
+            return jnp.stack([y0(xi, u, p, ti)
+                              for xi, ti in zip(pts_x, pts_t)])
+
+        return _dc.replace(spec, kind="NONLINEAR_LS", y_fun=y_int,
+                           Vx=None, Vu=None, needs_dt=True,
+                           quad_weights=wq)
+    if spec.kind == "EXTERNAL":
+        e0 = spec.ext_fun
+
+        def e_int(x, u, p, t, dtk):
+            pts_x, pts_t = stage_points(x, u, p, t, dtk)
+            wqx = jnp.asarray(wq, x.dtype)
+            vals = jnp.stack([e0(xi, u, p, ti)
+                              for xi, ti in zip(pts_x, pts_t)])
+            return jnp.sum(wqx * vals)
+
+        return _dc.replace(spec, ext_fun=e_int, needs_dt=True)
+    raise ValueError(spec.kind)
+
+
 def _idx(v):
     return tuple(int(i) for i in np.atleast_1d(v)) if v is not None else ()
 
@@ -237,12 +360,11 @@ def _build_con_specs(ocp: AcadosOcp, nx, nu):
     idxbx_0 = _idx(con.idxbx_0)
     if con.x0 is not None and not idxbx_0:
         idxbx_0 = tuple(range(nx))
-    h0 = _norm4(m.con_h_expr_0 or m.con_h_expr) \
-        if (m.con_h_expr_0 or m.con_h_expr) is not None else None
+    h0, h0_wz = _norm_z(m.con_h_expr_0 or m.con_h_expr)
     nh0 = _dim_of(con.lh_0 if con.lh_0 is not None else con.lh) \
         if h0 is not None else 0
 
-    hp = _norm4(m.con_h_expr) if m.con_h_expr is not None else None
+    hp, hp_wz = _norm_z(m.con_h_expr)
     nhp = _dim_of(con.lh if con.lh is not None else con.uh) \
         if hp is not None else 0
 
@@ -288,7 +410,8 @@ def _build_con_specs(ocp: AcadosOcp, nx, nu):
     idxbx = _idx(con.idxbx)
     con_0 = ConstraintSpec(
         nx=nx, nu=nu, idxbx=idxbx_0, idxbu=idxbu, Cg=Cg, Dg=Dg,
-        nh=nh0, h_fun=h0, nphi=nphi0, phi_fun=phi0, r_fun=r0,
+        nh=nh0, h_fun=h0, with_z=h0_wz, nphi=nphi0, phi_fun=phi0,
+        r_fun=r0,
         soft_rows=soft_rows(len(idxbx_0), len(idxbu),
                             0 if Cg is None else Cg.shape[0], nh0,
                             None, con.idxsbu, con.idxsg,
@@ -298,6 +421,7 @@ def _build_con_specs(ocp: AcadosOcp, nx, nu):
                             else con.idxsphi))
     con_p = ConstraintSpec(
         nx=nx, nu=nu, idxbx=idxbx, idxbu=idxbu, Cg=Cg, Dg=Dg,
+        with_z=hp_wz,
         nh=nhp, h_fun=hp, nphi=nphip, phi_fun=phip, r_fun=rp,
         soft_rows=soft_rows(len(idxbx), len(idxbu),
                             0 if Cg is None else Cg.shape[0], nhp,
@@ -361,6 +485,17 @@ def build_ocp(ocp: AcadosOcp):
     nx = _dim_of(m.x, ocp.dims.nx or 0)
     nu = _dim_of(m.u, ocp.dims.nu or 0)
     np_dim = _dim_of(m.p, ocp.dims.np or 0)
+    # p_global tail (see AcadosModel.p_global): stage callables receive
+    # p_full = [p_stage | p_global | global_data]
+    npg = _dim_of(getattr(m, "p_global", None))
+    ngd = 0
+    if getattr(m, "p_global_precompute_fun", None) is not None:
+        if npg == 0:
+            raise ValueError("p_global_precompute_fun needs model.p_global")
+        _pg_probe = np.asarray(
+            m.p_global_precompute_fun(jnp.zeros((npg,))))
+        ngd = int(_pg_probe.reshape(-1).shape[0])
+    np_dim = np_dim + npg + ngd
     N = so.N_horizon or ocp.dims.N
     if N is None:
         raise ValueError("set solver_options.N_horizon")
@@ -406,12 +541,61 @@ def build_ocp(ocp: AcadosOcp):
             jac_reuse=bool(so.sim_method_jac_reuse))
 
     con_0, con_p, con_e = _build_con_specs(ocp, nx, nu)
+    cost_0 = _build_cost_spec(ocp, "0")
+    cost_p = _build_cost_spec(ocp, "path")
+    cost_e = _build_cost_spec(ocp, "e")
+
+    if so.cost_discretization == "INTEGRATOR":
+        if so.integrator_type != "ERK":
+            raise NotImplementedError(
+                "cost_discretization INTEGRATOR is implemented for ERK "
+                "(the reference's CI-pinned configuration); IRK cost "
+                "propagation is not wired yet")
+        from acados_tpu.sim.integrator import normalize_dynamics
+        f4 = normalize_dynamics(m.f_expl_expr)
+        cost_0 = _wrap_cost_integrator(cost_0, f4,
+                                       so.sim_method_num_stages,
+                                       so.sim_method_num_steps)
+        cost_p = _wrap_cost_integrator(cost_p, f4,
+                                       so.sim_method_num_stages,
+                                       so.sim_method_num_steps)
+        # terminal (Mayer) term has no integral — untouched
+
+    # --- algebraic variables in the NLP layer (DAE-constrained OCP) ------
+    nz = _dim_of(m.z)
+    any_z = (cost_0.with_z or cost_p.with_z or con_0.with_z
+             or con_p.with_z)
+    z_fun = None
+    if any_z:
+        if nz == 0:
+            raise ValueError("cost/constraint expressions reference z "
+                             "but model.z declares nz == 0")
+        if so.integrator_type not in ("IRK", "LIFTED_IRK"):
+            raise ValueError(
+                "z-dependent cost/constraints need an implicit DAE "
+                "integrator (IRK/LIFTED_IRK); got "
+                f"{so.integrator_type}")
+        from acados_tpu.sim.integrator import normalize_implicit_dynamics
+        from acados_tpu.sim.irk import make_irk_z0_fun
+        fi = normalize_implicit_dynamics(m.f_impl_expr)
+        _z0 = make_irk_z0_fun(fi, nx=nx, nz=nz,
+                              num_stages=so.sim_method_num_stages,
+                              newton_iter=so.sim_method_newton_iter,
+                              collocation=so.collocation_type)
+        nsteps = so.sim_method_num_steps
+        z_fun = lambda x, u, p, t, dt: _z0(x, u, p, t, dt / nsteps)
+
+    if nz > 0 and not any_z and step_jac_fn is not None:
+        # DAE model whose cost/constraints never read z: drop the z
+        # outputs so the linearizer stays on the 3-tuple fast path
+        _sj = step_jac_fn
+        step_jac_fn = lambda x, u, p, t, dt: _sj(x, u, p, t, dt)[:3]
+
     form = OcpNlpFormulation(
         N=N, nx=nx, nu=nu, np_=np_dim, step_fn=step_fn,
         step_jac_fn=step_jac_fn,
-        cost_0=_build_cost_spec(ocp, "0"),
-        cost=_build_cost_spec(ocp, "path"),
-        cost_e=_build_cost_spec(ocp, "e"),
+        nz=nz if any_z else 0, z_fun=z_fun,
+        cost_0=cost_0, cost=cost_p, cost_e=cost_e,
         con_0=con_0, con=con_p, con_e=con_e,
         exact_hessian=(so.hessian_approx == "EXACT"))
     nc = form.nc
@@ -475,8 +659,16 @@ def build_ocp(ocp: AcadosOcp):
         # reference default: Lagrange term scaled by time step, Mayer by 1
         cost_scale = np.concatenate([dts, [1.0]])
 
-    p0 = np.zeros(np_dim) if ocp.parameter_values is None \
+    np_stage = np_dim - npg - ngd
+    p0 = np.zeros(np_stage) if ocp.parameter_values is None \
         else np.asarray(ocp.parameter_values, np.float64)
+    if npg:
+        pg0 = (np.zeros(npg)
+               if getattr(ocp, "p_global_values", None) is None
+               else np.asarray(ocp.p_global_values, np.float64))
+        gd0 = (np.asarray(m.p_global_precompute_fun(
+            jnp.asarray(pg0))).reshape(-1) if ngd else np.zeros(0))
+        p0 = np.concatenate([p0, pg0, gd0])
 
     data = dict(
         p=np.tile(p0, (N + 1, 1)),

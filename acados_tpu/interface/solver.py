@@ -40,7 +40,17 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         qp_tol = min(so.nlp_solver_tol_stat * 1e-1, 1e-6) \
             if so.dtype == "float64" else max(
                 so.nlp_solver_tol_stat * 1e-1, 1e-6)
-    qp_opts = IpmOpts(iter_max=so.qp_solver_iter_max, mu0=so.qp_solver_mu0,
+    # hpipm_mode presets (reference acados_ocp_options.py:133):
+    # SPEED caps the IPM iterations aggressively, ROBUST raises the cap
+    # and backs off the fraction-to-boundary; BALANCE = defaults.
+    mode = {"BALANCE": dict(), "SPEED": dict(iter_max=15),
+            "SPEED_ABS": dict(iter_max=15),
+            "ROBUST": dict(iter_max=100, tau=0.99)}[so.hpipm_mode]
+    iter_max = mode.get("iter_max", so.qp_solver_iter_max)
+    if so.qp_solver_iter_max != 50:   # user override beats the preset
+        iter_max = so.qp_solver_iter_max
+    qp_opts = IpmOpts(iter_max=iter_max, mu0=so.qp_solver_mu0,
+                      tau=mode.get("tau", 0.995),
                       tol_stat=qp_tol, tol_eq=qp_tol, tol_ineq=qp_tol,
                       tol_comp=qp_tol)
     max_iter = (1 if so.nlp_solver_type == "SQP_RTI"
@@ -51,7 +61,17 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
         tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp,
         tol_min_step_norm=so.tol_min_step_norm,
+        timeout_max_time=so.timeout_max_time,
+        timeout_heuristic=so.timeout_heuristic,
         levenberg_marquardt=so.levenberg_marquardt,
+        with_adaptive_levenberg_marquardt=(
+            so.with_adaptive_levenberg_marquardt),
+        adaptive_levenberg_marquardt_lam=(
+            so.adaptive_levenberg_marquardt_lam),
+        adaptive_levenberg_marquardt_mu_min=(
+            so.adaptive_levenberg_marquardt_mu_min),
+        adaptive_levenberg_marquardt_mu0=(
+            so.adaptive_levenberg_marquardt_mu0),
         regularize_method=so.regularize_method,
         reg_epsilon=so.reg_epsilon,
         globalization=(so.globalization
@@ -215,10 +235,19 @@ class AcadosOcpSolver:
             self.opts = self.opts.replace(
                 qp_opts=self.opts.qp_opts.replace(iter_max=int(value)))
         elif field in ("timeout_max_time", "timeout_heuristic"):
-            # post-hoc timeout surface (see AcadosOcpOptions docstring)
+            # predictive in-loop timeout (static in the jitted loop ->
+            # rebuild the solve closure)
             if field == "timeout_max_time":
                 self.acados_ocp.solver_options.timeout_max_time = \
                     float(value)
+                self.opts = self.opts.replace(
+                    timeout_max_time=float(value))
+            else:
+                self.acados_ocp.solver_options.timeout_heuristic = \
+                    str(value)
+                self.opts = self.opts.replace(
+                    timeout_heuristic=str(value))
+            self._solve_fn = self._make_solve_fn()
             return
         elif field == "warm_start_first_qp":
             return  # accepted: warm starting is explicit here
@@ -387,6 +416,19 @@ class AcadosOcpSolver:
             n = lay.nrows
             return np.concatenate([it["lam_l"][stage][:n],
                                    it["lam_u"][stage][:n]])
+        if field == "z":
+            # algebraic variable at the shooting node (reference
+            # ocp_nlp_get_at_stage 'z'; z at interval start from the IRK
+            # stage solution — sim z output)
+            if self.form.z_fun is None or stage >= self.N:
+                return np.zeros((0,))
+            import jax.numpy as jnp
+            d = self._data
+            return np.asarray(self.form.z_fun(
+                jnp.asarray(it["x"][stage]), jnp.asarray(it["u"][stage]),
+                jnp.asarray(np.asarray(d["p"])[stage]),
+                jnp.asarray(np.asarray(d["ts"])[stage]),
+                jnp.asarray(np.asarray(d["dts"])[stage])))
         raise ValueError(f"get: unknown field {field!r}")
 
     def _layout(self, stage) -> StageLayout:
@@ -416,7 +458,13 @@ class AcadosOcpSolver:
             self._default_init = False
             return
         if field == "p":
-            self._data["p"][stage] = value
+            value = np.atleast_1d(np.asarray(value, np.float64))
+            if value.shape[0] == self._data["p"].shape[1]:
+                self._data["p"][stage] = value
+            else:
+                # stage part only; the [p_global | global_data] tail is
+                # owned by set_p_global_and_precompute_dependencies
+                self._data["p"][stage, :value.shape[0]] = value
             return
         if field in ("yref", "W"):
             self.cost_set(stage, field, value)
@@ -506,6 +554,49 @@ class AcadosOcpSolver:
         kf = self._kkt_factor()
         dx, du, dpi, _, _ = forward_sensitivity(kf, d_data)
         return {"sens_x": np.asarray(dx), "sens_u": np.asarray(du)}
+
+    def set_p_global_and_precompute_dependencies(self, p_global_values):
+        """Set the global parameters once and (re)compute the
+        p_global-only precomputed data (reference: generated
+        p_global_precompute_fun, p_global_precompute_fun.in.h;
+        AcadosOcpSolver method of the same name). The stage callables
+        see [p_stage | p_global | global_data] as their `p` argument."""
+        import jax.numpy as _jnp
+
+        m = self.acados_ocp.model
+        from acados_tpu.interface.acados_ocp import _dim_of
+        npg = _dim_of(getattr(m, "p_global", None))
+        if npg == 0:
+            raise ValueError("model.p_global is not declared")
+        vals = np.atleast_1d(np.asarray(p_global_values, np.float64))
+        if vals.shape[0] != npg:
+            raise ValueError(f"expected {npg} p_global values")
+        fn = getattr(m, "p_global_precompute_fun", None)
+        gd = (np.asarray(fn(_jnp.asarray(vals))).reshape(-1)
+              if fn is not None else np.zeros(0))
+        np_total = self._data["p"].shape[1]
+        np_stage = np_total - npg - gd.shape[0]
+        self._data["p"][:, np_stage:np_stage + npg] = vals
+        if gd.shape[0]:
+            self._data["p"][:, np_stage + npg:] = gd
+
+    def eval_and_get_optimal_value_gradient(self,
+                                            with_respect_to="p_global"):
+        """Gradient of the optimal objective value wrt 'p_global' (all
+        stages share the parameter) or 'initial_state'. Envelope theorem
+        at the converged KKT point — reference eval_lagr_grad_p
+        (ocp_nlp_common.c:4181) / AcadosOcpSolver.
+        eval_and_get_optimal_value_gradient."""
+        from acados_tpu.ocp_nlp.sensitivity import (
+            eval_lagrange_grad_p, optimal_value_grad_x0)
+        it = self._iterate_jax()
+        data = data_to_jax(self._data, self.dtype)
+        if with_respect_to in ("p_global", "params_global"):
+            g = eval_lagrange_grad_p(self.form, data, it)
+            return np.asarray(jnp.sum(g, axis=0))
+        if with_respect_to == "initial_state":
+            return np.asarray(optimal_value_grad_x0(self.form, data, it))
+        raise ValueError(f"with_respect_to {with_respect_to!r}")
 
     def eval_solution_sensitivity(self, stages, with_respect_to,
                                   return_sens_x=True, return_sens_u=True,

@@ -60,6 +60,20 @@ class CostSpec:
     y_fun: Optional[Callable] = None
     psi_fun: Optional[Callable] = None
     ext_fun: Optional[Callable] = None
+    # the residual/cost callable references the algebraic variable z:
+    # signature becomes (x, u, z, p, t); the linearizer supplies z via an
+    # affine model z0 + Jz dw around the linearization point (reference:
+    # cost modules consume z + dzduxt from the dynamics module,
+    # ocp_nlp_cost_ls.c Vz / ocp_nlp_dynamics_cont.c:847-851)
+    with_z: bool = False
+    # cost integration (reference cost_discretization = INTEGRATOR):
+    # the callable takes an extra trailing dt argument (interval length)
+    # and — for the LS family — returns a STACKED (nq, ny) residual at
+    # the integrator's quadrature points, combined with quad_weights
+    # (nq,) so the Gauss-Newton Hessian is the integrated one
+    # (sum_q w_q J_q' W J_q). See interface.builder._wrap_cost_integrator.
+    needs_dt: bool = False
+    quad_weights: Optional[np.ndarray] = None
     # LINEAR_LS constant Jacobian blocks (numpy); when set, quad_approx
     # skips the AD pass entirely (the reference precomputes V'WV once,
     # ocp_nlp_cost_ls.c:854 — here W may change at runtime via cost_set,
@@ -67,22 +81,43 @@ class CostSpec:
     Vx: Optional[np.ndarray] = None
     Vu: Optional[np.ndarray] = None
 
-    def value(self, x, u, p, t, data) -> jnp.ndarray:
+    def _call(self, fn, x, u, p, t, zlin, dt_=None):
+        if self.with_z:
+            z = (zlin(x, u) if zlin is not None
+                 else jnp.zeros((0,), x.dtype))
+            return fn(x, u, z, p, t)
+        if self.needs_dt:
+            return fn(x, u, p, t, dt_)
+        return fn(x, u, p, t)
+
+    def value(self, x, u, p, t, data, zlin=None, dt_=None) -> jnp.ndarray:
         """Stage cost value (excluding slack penalties)."""
         if self.kind in ("LINEAR_LS", "NONLINEAR_LS"):
-            r = self.y_fun(x, u, p, t) - data["yref"]
+            if self.quad_weights is not None:
+                Y = self._call(self.y_fun, x, u, p, t, zlin, dt_)
+                R = Y - data["yref"][None, :]
+                wq = jnp.asarray(self.quad_weights, x.dtype)
+                return 0.5 * jnp.einsum("q,qi,ij,qj->", wq, R,
+                                        data["W"], R)
+            r = self._call(self.y_fun, x, u, p, t, zlin, dt_) \
+                - data["yref"]
             return 0.5 * r @ data["W"] @ r
         if self.kind == "CONL":
-            r = self.y_fun(x, u, p, t) - data["yref"]
+            r = self._call(self.y_fun, x, u, p, t, zlin, dt_) \
+                - data["yref"]
             return self.psi_fun(r, p)
         if self.kind == "EXTERNAL":
-            return self.ext_fun(x, u, p, t)
+            return self._call(self.ext_fun, x, u, p, t, zlin, dt_)
         raise ValueError(self.kind)
 
-    def quad_approx(self, x, u, p, t, data, exact_hessian: bool):
+    def quad_approx(self, x, u, p, t, data, exact_hessian: bool,
+                    zlin=None, dt_=None):
         """Quadratic approximation at (x, u): returns (H, grad) over
         w = [x; u] — the reference's cost update_qp_matrices
-        (ocp_nlp_cost_ls.c:883 RSQrq/grad packing)."""
+        (ocp_nlp_cost_ls.c:883 RSQrq/grad packing). zlin: affine
+        z(x, u) model; since it is affine, plain AD of the composition
+        yields exactly the reference's dzduxt chain rule (and no d2z
+        term, matching the reference's first-order z treatment)."""
         nx, nu = x.shape[-1], u.shape[-1]
 
         def split(w):
@@ -97,8 +132,27 @@ class CostSpec:
             r = Vx @ x + Vu @ u - data["yref"]
             Wr = data["W"] @ r
             return J.T @ data["W"] @ J, J.T @ Wr
+        if self.kind in ("LINEAR_LS", "NONLINEAR_LS") \
+                and self.quad_weights is not None:
+            # integrated Gauss-Newton over quadrature points
+            yf = lambda w_: self._call(self.y_fun, *split(w_), p, t,
+                                       zlin, dt_)
+            Y = yf(w)                            # (nq, ny)
+            J = jax.jacfwd(yf)(w)                # (nq, ny, nw)
+            R = Y - data["yref"][None, :]
+            wq = jnp.asarray(self.quad_weights, w.dtype)
+            WR = jnp.einsum("ij,qj->qi", data["W"], R)
+            grad = jnp.einsum("q,qiw,qi->w", wq, J, WR)
+            H = jnp.einsum("q,qiw,ij,qjv->wv", wq, J, data["W"], J)
+            if exact_hessian:
+                H = H + jax.hessian(
+                    lambda w_: jnp.einsum(
+                        "q,qi,qi->", wq, yf(w_),
+                        jax.lax.stop_gradient(WR)))(w)
+            return H, grad
         if self.kind in ("LINEAR_LS", "NONLINEAR_LS"):
-            yf = lambda w_: self.y_fun(*split(w_), p, t)
+            yf = lambda w_: self._call(self.y_fun, *split(w_), p, t,
+                                       zlin, dt_)
             y = yf(w)
             J = jax.jacfwd(yf)(w)
             r = y - data["yref"]
@@ -112,14 +166,17 @@ class CostSpec:
                     lambda w_: yf(w_) @ jax.lax.stop_gradient(Wr))(w)
             return H, grad
         if self.kind == "CONL":
-            yf = lambda w_: self.y_fun(*split(w_), p, t) - data["yref"]
+            yf = lambda w_: (self._call(self.y_fun, *split(w_), p, t,
+                                        zlin, dt_)
+                             - data["yref"])
             r = yf(w)
             J = jax.jacfwd(yf)(w)
             gpsi = jax.grad(lambda r_: self.psi_fun(r_, p))(r)
             Hpsi = jax.hessian(lambda r_: self.psi_fun(r_, p))(r)
             return J.T @ Hpsi @ J, J.T @ gpsi
         if self.kind == "EXTERNAL":
-            f = lambda w_: self.ext_fun(*split(w_), p, t)
+            f = lambda w_: self._call(self.ext_fun, *split(w_), p, t,
+                                      zlin, dt_)
             grad = jax.grad(f)(w)
             H = jax.hessian(f)(w)
             if not exact_hessian:
@@ -156,6 +213,9 @@ class ConstraintSpec:
     Dg: Optional[np.ndarray] = None
     nh: int = 0
     h_fun: Optional[Callable] = None
+    # h references z: h_fun signature (x, u, z, p, t) (problem
+    # formulation tex:125 h(x, u, z, p); z supplied via the affine model)
+    with_z: bool = False
     soft_rows: tuple = ()
     # BGP: convex-over-nonlinear rows phi(r(x, u)) appended after the h
     # block (reference ocp_nlp_constraints_bgp.c; phi convex in r). The
@@ -198,7 +258,14 @@ class ConstraintSpec:
                 D[o:o + self.ng] = self.Dg
         return jnp.asarray(C, dtype), jnp.asarray(D, dtype)
 
-    def eval_rows(self, x, u, p, t):
+    def _call_h(self, x, u, p, t, zlin):
+        if self.with_z:
+            z = (zlin(x, u) if zlin is not None
+                 else jnp.zeros((0,), x.dtype))
+            return self.h_fun(x, u, z, p, t)
+        return self.h_fun(x, u, p, t)
+
+    def eval_rows(self, x, u, p, t, zlin=None):
         """Row values g(x, u) and Jacobian rows for the nonlinear block."""
         vals = []
         if self.nbx:
@@ -211,14 +278,14 @@ class ConstraintSpec:
                 gv = gv + jnp.asarray(self.Dg, x.dtype) @ u
             vals.append(gv)
         if self.nh:
-            vals.append(self.h_fun(x, u, p, t))
+            vals.append(self._call_h(x, u, p, t, zlin))
         if self.nphi:
             vals.append(self.phi_fun(self.r_fun(x, u, p, t)))
         if not vals:
             return jnp.zeros((0,), x.dtype)
         return jnp.concatenate(vals)
 
-    def h_jac(self, x, u, p, t):
+    def h_jac(self, x, u, p, t, zlin=None):
         """(nnl, nx), (nnl, nu) Jacobians of the nonlinear rows
         (h block followed by the phi(r) block, chain rule via AD)."""
         nx = self.nx
@@ -227,7 +294,7 @@ class ConstraintSpec:
         def nl(w_):
             vals = []
             if self.nh:
-                vals.append(self.h_fun(w_[:nx], w_[nx:], p, t))
+                vals.append(self._call_h(w_[:nx], w_[nx:], p, t, zlin))
             if self.nphi:
                 vals.append(self.phi_fun(self.r_fun(w_[:nx], w_[nx:],
                                                     p, t)))
@@ -278,8 +345,16 @@ class OcpNlpFormulation:
     step_fn: Callable  # (x, u, p, t, dt) -> x_next  (discrete dynamics)
     # optional fused step+Jacobian: (x, u, p, t, dt) -> (x_next, A, B);
     # the linearizer prefers it over jacfwd(step_fn) (see
-    # sim.integrator.make_step_jac_fn — the forward-VDE fast path)
+    # sim.integrator.make_step_jac_fn — the forward-VDE fast path).
+    # When nz > 0, returns (x_next, A, B, z0, Jz) — z at the interval
+    # start + dz/d(x,u) (reference dzduxt, ocp_nlp_dynamics_cont.c:851)
     step_jac_fn: Optional[Callable] = None
+    # DAE algebraic dimension; when > 0, cost/constraint specs flagged
+    # with_z receive z through an affine model at each linearization
+    nz: int = 0
+    # exact z(t0) evaluator (x, u, p, t, dt) -> (nz,) for merit/trial
+    # evaluations (sim.irk.make_irk_z0_fun)
+    z_fun: Optional[Callable] = None
     cost_0: CostSpec = None
     cost: CostSpec = None
     cost_e: CostSpec = None

@@ -101,13 +101,27 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
     eyeW = jnp.eye(nx + nu, dtype=dt)
 
     # ---- dynamics: A, B, b over all N intervals (one vmap) ---------------
-    if form.step_jac_fn is not None:
+    use_z = form.nz > 0 and form.step_jac_fn is not None
+    if use_z:
+        # DAE: the fused path also yields z(t0) + dz/d(x,u) per interval
+        # (reference dzduxt packing, ocp_nlp_dynamics_cont.c:847-851)
+        def dyn_one(xk, uk, pk, tk, dtk, xk1):
+            xnext, Ak, Bk, z0k, Jzk = form.step_jac_fn(xk, uk, pk, tk,
+                                                       dtk)
+            return Ak, Bk, xnext - xk1, z0k, Jzk
+
+        A, B, b, z0s, Jzs = jax.vmap(dyn_one)(
+            x[:-1], u, data.p[:-1], data.ts[:-1], data.dts, x[1:])
+    elif form.step_jac_fn is not None:
         # fused step+Jacobian fast path (forward VDE: one factorized
         # stage system serves all sensitivity columns — see
         # sim.irk.make_irk_step_jac)
         def dyn_one(xk, uk, pk, tk, dtk, xk1):
             xnext, Ak, Bk = form.step_jac_fn(xk, uk, pk, tk, dtk)
             return Ak, Bk, xnext - xk1
+
+        A, B, b = jax.vmap(dyn_one)(x[:-1], u, data.p[:-1],
+                                    data.ts[:-1], data.dts, x[1:])
     else:
         def dyn_one(xk, uk, pk, tk, dtk, xk1):
             w = jnp.concatenate([xk, uk])
@@ -116,21 +130,40 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
             J = jax.jacfwd(phi)(w)
             return J[:, :nx], J[:, nx:], xnext - xk1
 
-    A, B, b = jax.vmap(dyn_one)(x[:-1], u, data.p[:-1], data.ts[:-1],
-                                data.dts, x[1:])
+        A, B, b = jax.vmap(dyn_one)(x[:-1], u, data.p[:-1],
+                                    data.ts[:-1], data.dts, x[1:])
+
+    def mk_zlin(z0k, Jzk, xk, uk):
+        """Affine z model around the linearization point; AD through it
+        reproduces the reference's dzduxt chain rule exactly."""
+        return lambda x_, u_: (z0k + Jzk[:, :nx] @ (x_ - xk)
+                               + Jzk[:, nx:] @ (u_ - uk))
 
     # ---- cost quadratics per stage class ---------------------------------
-    def cost_one(spec, cdata, xk, uk, pk, tk, scale):
-        H, g = spec.quad_approx(xk, uk, pk, tk, cdata, form.exact_hessian)
+    def cost_one(spec, cdata, xk, uk, pk, tk, scale, zlin=None, dtk=None):
+        H, g = spec.quad_approx(xk, uk, pk, tk, cdata,
+                                form.exact_hessian, zlin=zlin, dt_=dtk)
         return scale * H, scale * g
 
+    zl0 = mk_zlin(z0s[0], Jzs[0], x[0], u[0]) if use_z else None
     H0, g0 = cost_one(form.cost_0, cost_data_stage0(data), x[0], u[0],
-                      data.p[0], data.ts[0], data.cost_scale[0])
-    Hp, gp = jax.vmap(
-        lambda xk, uk, pk, tk, sc, yr, Wk: cost_one(
-            form.cost, {"yref": yr, "W": Wk}, xk, uk, pk, tk, sc)
-    )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N], data.cost_scale[1:N],
-      data.yref, data.W)
+                      data.p[0], data.ts[0], data.cost_scale[0],
+                      zlin=zl0, dtk=data.dts[0])
+    if use_z:
+        Hp, gp = jax.vmap(
+            lambda xk, uk, pk, tk, sc, yr, Wk, z0k, Jzk, dtk: cost_one(
+                form.cost, {"yref": yr, "W": Wk}, xk, uk, pk, tk, sc,
+                zlin=mk_zlin(z0k, Jzk, xk, uk), dtk=dtk)
+        )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N],
+          data.cost_scale[1:N], data.yref, data.W, z0s[1:N], Jzs[1:N],
+          data.dts[1:N])
+    else:
+        Hp, gp = jax.vmap(
+            lambda xk, uk, pk, tk, sc, yr, Wk, dtk: cost_one(
+                form.cost, {"yref": yr, "W": Wk}, xk, uk, pk, tk, sc,
+                dtk=dtk)
+        )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N], data.cost_scale[1:N],
+          data.yref, data.W, data.dts[1:N])
     He, ge = cost_one(form.cost_e, cost_data_term(data), x[N],
                       jnp.zeros((nu,), dt), data.p[N], data.ts[N],
                       data.cost_scale[N])
@@ -170,11 +203,11 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
     r = g_path[:, nx:]
 
     # ---- constraint rows ---------------------------------------------------
-    def rows_one(spec, Cb, Db, xk, uk, pk, tk):
-        gval = _pad_rows(spec.eval_rows(xk, uk, pk, tk), nc)
+    def rows_one(spec, Cb, Db, xk, uk, pk, tk, zlin=None):
+        gval = _pad_rows(spec.eval_rows(xk, uk, pk, tk, zlin=zlin), nc)
         C, D = Cb, Db
         if spec.nh or spec.nphi:
-            Jx, Ju = spec.h_jac(xk, uk, pk, tk)
+            Jx, Ju = spec.h_jac(xk, uk, pk, tk, zlin=zlin)
             o = spec.nbx + spec.nbu + spec.ng
             C = jax.lax.dynamic_update_slice(C, Jx, (o, 0))
             D = jax.lax.dynamic_update_slice(D, Ju, (o, 0))
@@ -182,10 +215,17 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
 
     g0v, C0, D0 = rows_one(form.con_0, static_rows["C_0"],
                            static_rows["D_0"], x[0], u[0], data.p[0],
-                           data.ts[0])
-    gpv, Cp, Dp = jax.vmap(lambda xk, uk, pk, tk: rows_one(
-        form.con, static_rows["C_p"], static_rows["D_p"], xk, uk, pk, tk)
-    )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N])
+                           data.ts[0], zlin=zl0)
+    if use_z:
+        gpv, Cp, Dp = jax.vmap(lambda xk, uk, pk, tk, z0k, Jzk: rows_one(
+            form.con, static_rows["C_p"], static_rows["D_p"], xk, uk,
+            pk, tk, zlin=mk_zlin(z0k, Jzk, xk, uk))
+        )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N], z0s[1:N], Jzs[1:N])
+    else:
+        gpv, Cp, Dp = jax.vmap(lambda xk, uk, pk, tk: rows_one(
+            form.con, static_rows["C_p"], static_rows["D_p"], xk, uk,
+            pk, tk)
+        )(x[1:N], u[1:N], data.p[1:N], data.ts[1:N])
     gev, Ce, _De = rows_one(form.con_e, static_rows["C_e"],
                             static_rows["D_e"], x[N], jnp.zeros((nu,), dt),
                             data.p[N], data.ts[N])
@@ -217,6 +257,21 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
                  Zl=Zl, Zu=Zu, zl=zl, zu=zu, soft_mask=static_rows["soft"])
 
 
+def _z_exact(form: OcpNlpFormulation, data: NlpData, x, u):
+    """Exact z(t0) per interval for merit/trial evaluations (the
+    reference updates z along dzduxt — here the stage system is
+    re-solved, which is at least as accurate)."""
+    return jax.vmap(lambda xk, uk, pk, tk, dtk: form.z_fun(
+        xk, uk, pk, tk, dtk))(x[:-1], u, data.p[:-1], data.ts[:-1],
+                              data.dts)
+
+
+def _needs_z(form) -> bool:
+    return form.nz > 0 and form.z_fun is not None and (
+        form.con_0.with_z or form.con.with_z or form.cost_0.with_z
+        or form.cost.with_z)
+
+
 def eval_constraints(form: OcpNlpFormulation, data: NlpData, x, u):
     """Row values g_k(x_k, u_k) for all stages (merit / residual eval)."""
     if _is_mp(form):
@@ -224,11 +279,20 @@ def eval_constraints(form: OcpNlpFormulation, data: NlpData, x, u):
         return eval_constraints_mp(form, data, x, u)
     N, nc, nu = form.N, form.nc, form.nu
     dt = x.dtype
-    g0 = _pad_rows(form.con_0.eval_rows(x[0], u[0], data.p[0], data.ts[0]),
-                   nc)
-    gp = jax.vmap(lambda xk, uk, pk, tk: _pad_rows(
-        form.con.eval_rows(xk, uk, pk, tk), nc))(
-        x[1:N], u[1:N], data.p[1:N], data.ts[1:N])
+    if _needs_z(form):
+        zs = _z_exact(form, data, x, u)
+        zconst = lambda zk: (lambda *_: zk)
+        g0 = _pad_rows(form.con_0.eval_rows(
+            x[0], u[0], data.p[0], data.ts[0], zlin=zconst(zs[0])), nc)
+        gp = jax.vmap(lambda xk, uk, pk, tk, zk: _pad_rows(
+            form.con.eval_rows(xk, uk, pk, tk, zlin=zconst(zk)), nc))(
+            x[1:N], u[1:N], data.p[1:N], data.ts[1:N], zs[1:N])
+    else:
+        g0 = _pad_rows(form.con_0.eval_rows(x[0], u[0], data.p[0],
+                                            data.ts[0]), nc)
+        gp = jax.vmap(lambda xk, uk, pk, tk: _pad_rows(
+            form.con.eval_rows(xk, uk, pk, tk), nc))(
+            x[1:N], u[1:N], data.p[1:N], data.ts[1:N])
     ge = _pad_rows(form.con_e.eval_rows(x[N], jnp.zeros((nu,), dt),
                                         data.p[N], data.ts[N]), nc)
     return jnp.concatenate([g0[None], gp, ge[None]])
@@ -243,11 +307,24 @@ def eval_cost(form: OcpNlpFormulation, data: NlpData, x, u, sl, su,
         return eval_cost_mp(form, data, x, u, sl, su, soft_mask)
     N, nu = form.N, form.nu
     dt = x.dtype
-    c0 = form.cost_0.value(x[0], u[0], data.p[0], data.ts[0],
-                           cost_data_stage0(data)) * data.cost_scale[0]
-    cp = jax.vmap(lambda xk, uk, pk, tk, yr, Wk: form.cost.value(
-        xk, uk, pk, tk, {"yref": yr, "W": Wk}))(
-        x[1:N], u[1:N], data.p[1:N], data.ts[1:N], data.yref, data.W)
+    if _needs_z(form):
+        zs = _z_exact(form, data, x, u)
+        zconst = lambda zk: (lambda *_: zk)
+        c0 = form.cost_0.value(
+            x[0], u[0], data.p[0], data.ts[0], cost_data_stage0(data),
+            zlin=zconst(zs[0])) * data.cost_scale[0]
+        cp = jax.vmap(lambda xk, uk, pk, tk, yr, Wk, zk: form.cost.value(
+            xk, uk, pk, tk, {"yref": yr, "W": Wk}, zlin=zconst(zk)))(
+            x[1:N], u[1:N], data.p[1:N], data.ts[1:N], data.yref,
+            data.W, zs[1:N])
+    else:
+        c0 = form.cost_0.value(
+            x[0], u[0], data.p[0], data.ts[0], cost_data_stage0(data),
+            dt_=data.dts[0]) * data.cost_scale[0]
+        cp = jax.vmap(lambda xk, uk, pk, tk, yr, Wk, dtk: form.cost.value(
+            xk, uk, pk, tk, {"yref": yr, "W": Wk}, dt_=dtk))(
+            x[1:N], u[1:N], data.p[1:N], data.ts[1:N], data.yref, data.W,
+            data.dts[1:N])
     cp = jnp.sum(cp * data.cost_scale[1:N])
     ce = form.cost_e.value(x[N], jnp.zeros((nu,), dt), data.p[N],
                            data.ts[N], cost_data_term(data)) \

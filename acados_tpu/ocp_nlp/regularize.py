@@ -16,10 +16,18 @@ eigensolves. GLM avoids the eigendecomposition entirely (diagonal shifts
 from Gershgorin bounds), making it the cheap TPU default for mildly
 indefinite Hessians.
 
-Not implemented (documented gaps): CONVEXIFY (reg_convexify.c:936,
-Verschueren's structure-preserving convexification — requires a
-Riccati-like recursion over the stage structure) and PROJECT_REDUC_HESS
-(reg_project_reduc_hess.c). Both raise ValueError with that citation.
+CONVEXIFY (reg_convexify.c:936, Verschueren's structure-preserving
+convexification) runs a backward Riccati-like sweep: at each stage the
+FULL-SPACE cost-to-go update block M_k = H_k + [A B]' P_{k+1} [A B] is
+eigenvalue-clipped, the correction is subtracted back out of the
+propagated part, and P_k is the Schur complement of the corrected
+block. Key property (the reason it exists): when the REDUCED Hessian of
+the QP is already convex, every M_k is PSD and the method is the
+identity — unlike MIRROR/PROJECT, which modify any stage-wise
+indefinite Hessian even when the reduced problem is fine.
+
+Still absent (documented): PROJECT_REDUC_HESS
+(reg_project_reduc_hess.c:574) — raises ValueError with that citation.
 """
 from __future__ import annotations
 
@@ -27,7 +35,8 @@ import jax.numpy as jnp
 
 from acados_tpu.ocp_qp.data import OcpQp
 
-REG_METHODS = ("NO_REGULARIZE", "MIRROR", "PROJECT", "GLM")
+REG_METHODS = ("NO_REGULARIZE", "MIRROR", "PROJECT", "GLM",
+               "CONVEXIFY")
 
 
 def _eig_fix(H, eps: float, mirror: bool):
@@ -64,8 +73,10 @@ def regularize_qp(qp: OcpQp, method: str, eps: float) -> OcpQp:
     if method not in REG_METHODS:
         raise ValueError(
             f"regularize_method {method!r}; supported {REG_METHODS} "
-            "(CONVEXIFY / PROJECT_REDUC_HESS not implemented — reference "
-            "reg_convexify.c:936, reg_project_reduc_hess.c)")
+            "(PROJECT_REDUC_HESS not implemented — reference "
+            "reg_project_reduc_hess.c:574)")
+    if method == "CONVEXIFY":
+        return _convexify(qp, eps)
     nx = qp.Q.shape[-1]
     nu = qp.R.shape[-1]
     # assemble (N, nw, nw) coupled blocks; variable order w = [x; u]
@@ -88,4 +99,62 @@ def regularize_qp(qp: OcpQp, method: str, eps: float) -> OcpQp:
         Q=jnp.concatenate([H[:, :nx, :nx], Qe[None]], axis=0),
         R=H[:, nx:, nx:],
         S=H[:, nx:, :nx],
+    )
+
+
+def _convexify(qp: OcpQp, eps: float) -> OcpQp:
+    """Structure-preserving convexification (reference reg_convexify.c:936,
+    Verschueren et al.): backward sweep over stages clipping the
+    full-space cost-to-go block, so curvature is only modified where the
+    REDUCED (dynamics-eliminated) Hessian needs it.
+
+        P_N = clip(Q_N)
+        for k = N-1..0:
+            W_k = [A_k B_k]' P_{k+1} [A_k B_k]
+            M_k = H_k + W_k          (H_k the stage block)
+            M~_k = clip(M_k)         (eigenvalue floor at eps)
+            H~_k = M~_k - W_k        (handed to the QP)
+            P_k  = M~_xx - M~_xu M~_uu^{-1} M~_ux   (Schur cost-to-go)
+
+    If the QP's reduced Hessian is convex, all M_k are PSD, the clips are
+    identities and H~ == H (exactness MIRROR/PROJECT cannot offer).
+    Everything is a `lax.scan` of batched eigh/solves (vmap-transparent).
+    """
+    import jax
+
+    nx = qp.Q.shape[-1]
+    dt = qp.Q.dtype
+
+    def clip(Hm):
+        Hm = 0.5 * (Hm + jnp.swapaxes(Hm, -1, -2))
+        w, V = jnp.linalg.eigh(Hm)
+        w = jnp.maximum(w, eps)
+        return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+    PN = clip(qp.Q[-1])
+
+    def step(P, inp):
+        Q_k, R_k, S_k, A_k, B_k = inp
+        AB = jnp.concatenate([A_k, B_k], axis=-1)          # (nx, nw)
+        W = AB.T @ P @ AB
+        H = jnp.concatenate([
+            jnp.concatenate([Q_k, S_k.T], axis=-1),
+            jnp.concatenate([S_k, R_k], axis=-1)], axis=-2)
+        Mt = clip(H + W)
+        Ht = Mt - W
+        Muu = Mt[nx:, nx:]
+        Mux = Mt[nx:, :nx]
+        L = jnp.linalg.cholesky(Muu + eps * jnp.eye(Muu.shape[-1], dtype=dt))
+        P_new = Mt[:nx, :nx] - Mux.T @ jax.scipy.linalg.cho_solve(
+            (L, True), Mux)
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, Ht
+
+    _, Ht = jax.lax.scan(step, PN,
+                         (qp.Q[:-1], qp.R, qp.S, qp.A, qp.B),
+                         reverse=True)
+    return qp.replace(
+        Q=jnp.concatenate([Ht[:, :nx, :nx], PN[None]], axis=0),
+        R=Ht[:, nx:, nx:],
+        S=Ht[:, nx:, :nx],
     )

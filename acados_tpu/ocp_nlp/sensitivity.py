@@ -345,3 +345,52 @@ def make_diff_solver(form: OcpNlpFormulation, opts, sens_opts=None):
 
     solve_diff.defvjp(fwd, bwd)
     return solve_diff
+
+
+# ---------------------------------------------------------------------------
+# Optimal-value gradient (envelope theorem)
+# ---------------------------------------------------------------------------
+
+def eval_lagrange_grad_p(form: OcpNlpFormulation, data: NlpData,
+                         it: NlpIterate):
+    """Gradient of the Lagrangian wrt the stage parameters at fixed
+    primal-dual point — by the envelope theorem this equals the optimal-
+    value gradient dV/dp when `it` is a converged KKT point.
+
+    Mirrors `eval_lagr_grad_p` (/root/reference/acados/ocp_nlp/
+    ocp_nlp_common.c:4181, Python: AcadosOcpSolver.
+    eval_and_get_optimal_value_gradient). Returns (N+1, np) per-stage
+    gradients; sum over stages for a global parameter.
+    """
+    from acados_tpu.ocp_nlp.linearize import eval_cost, eval_dyn_gap
+    from acados_tpu.utils.types import ACADOS_INFTY
+
+    dt = it.x.dtype
+    static_rows = build_static_rows(form, dt)
+    soft_scaled = static_rows["soft"] * static_rows["mask"]
+    lb_all = jnp.concatenate([data.lb_0[None], data.lb, data.lb_e[None]])
+    ub_all = jnp.concatenate([data.ub_0[None], data.ub, data.ub_e[None]])
+    thr = 0.5 * ACADOS_INFTY
+    ml = static_rows["mask"] * (lb_all > -thr)
+    mu_ = static_rows["mask"] * (ub_all < thr)
+    lam_d = ml * it.lam_l - mu_ * it.lam_u
+
+    def lagr(p_all):
+        d = data.replace(p=p_all)
+        cost = eval_cost(form, d, it.x, it.u, it.sl, it.su, soft_scaled)
+        gap = eval_dyn_gap(form, d, it.x, it.u)
+        g = eval_constraints(form, d, it.x, it.u)
+        # L = f + pi'(phi - x+) - lam_l'(g - lb) - lam_u'(ub - g)
+        return (cost + jnp.sum(it.pi * gap) - jnp.sum(lam_d * g))
+
+    return jax.grad(lagr)(data.p)
+
+
+def optimal_value_grad_x0(form: OcpNlpFormulation, data: NlpData,
+                          it: NlpIterate):
+    """dV/dx0 at the solution: the multipliers of the initial-state
+    equality rows (reference eval_and_get_optimal_value_gradient with
+    with_respect_to='initial_state'). Requires idxbx_0 == full state."""
+    nbx0 = len(form.con_0.idxbx)
+    lam = (it.lam_l[0, :nbx0] - it.lam_u[0, :nbx0])
+    return lam

@@ -38,6 +38,23 @@ from acados_tpu.utils.struct import pytree_dataclass, static_field
 STAT_COLS = ("res_stat", "res_eq", "res_ineq", "res_comp", "qp_status",
              "qp_iter", "alpha", "step_norm")
 
+_CLOCK_EPOCH = None
+
+
+def _wall_clock():
+    """Host wall clock for the predictive timeout (io_callback target);
+    relative to first use so f32 keeps sub-ms resolution."""
+    import time as _time
+
+    import numpy as _np
+
+    global _CLOCK_EPOCH
+    if _CLOCK_EPOCH is None:
+        _CLOCK_EPOCH = _time.perf_counter()
+    import jax as _jax
+    dt = _np.float64 if _jax.config.jax_enable_x64 else _np.float32
+    return dt(_time.perf_counter() - _CLOCK_EPOCH)
+
 
 @pytree_dataclass
 class SqpOpts:
@@ -55,6 +72,13 @@ class SqpOpts:
     # ocp_nlp_common.c:1285, check ocp_nlp_sqp.c:411-417)
     tol_unbounded: float = -1e10
     levenberg_marquardt: float = 0.0
+    # adaptive LM (reference with_adaptive_levenberg_marquardt,
+    # acados_ocp_options.py:136-140): lm /= lam on stationarity-residual
+    # decrease, *= lam otherwise, floored at mu_min
+    with_adaptive_levenberg_marquardt: bool = static_field(default=False)
+    adaptive_levenberg_marquardt_lam: float = 5.0
+    adaptive_levenberg_marquardt_mu_min: float = 1e-16
+    adaptive_levenberg_marquardt_mu0: float = 1e-3
     regularize_method: str = static_field(default="NO_REGULARIZE")
     reg_epsilon: float = 1e-4  # reference default (acados_ocp_options.py)
     globalization: str = static_field(default="FIXED_STEP")
@@ -102,6 +126,14 @@ class SqpOpts:
     # fixed-step length (reference nlp_solver_step_length /
     # globalization_fixed_step_length, acados_ocp_options.py)
     step_length: float = 1.0
+    # predictive in-loop timeout (reference ocp_nlp_sqp.c:436,611-635):
+    # before each iteration, elapsed + predicted-next-iteration time is
+    # checked against the budget; heuristic in {ZERO, LAST, MAX,
+    # AVERAGE}. Uses an ordered host clock callback, so it is for
+    # SINGLE-INSTANCE solves (the reference is single-instance too);
+    # the batched/vmapped path uses the post-hoc budget check instead.
+    timeout_max_time: float = static_field(default=0.0)
+    timeout_heuristic: str = static_field(default="ZERO")
     # Anderson(1) acceleration on the fixed-step update (reference
     # with_anderson_acceleration + anderson_activation_threshold,
     # ocp_nlp_common.c:1277-1278, globalization_fixed_step.c:174-215)
@@ -338,6 +370,13 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         with jax.default_matmul_precision(opts.matmul_precision):
             return _solve(data, init)
 
+    # static real-row counts per stage class: lets partial condensing
+    # prune padding rows instead of promoting all nc rows per eliminated
+    # stage to general constraints (the round-2 row-blowup regression)
+    _keep_rows = (None if getattr(form, "segments", None) is not None
+                  else (form.con_0.nrows, form.con.nrows,
+                        form.con_e.nrows))
+
     def solve_qp(qp, warm=None):
         """QP backend dispatch: scaling front-end -> condensing front-end
         -> Riccati IPM."""
@@ -351,7 +390,8 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                            full_cond=True)
         elif opts.cond_N is not None:
             sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
-                                           cond_N=opts.cond_N, warm=warm)
+                                           cond_N=opts.cond_N, warm=warm,
+                                           keep_rows=_keep_rows)
         elif opts.qp_solver_name != "RICCATI_IPM":
             from acados_tpu.ocp_qp.registry import get_qp_backend
             sol, info = get_qp_backend(opts.qp_solver_name)(
@@ -388,10 +428,13 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             return jnp.logical_and(carry[1] < opts.max_iter,
                                    jnp.logical_not(carry[3]))
 
-        def body(carry):
+        adaptive_lm = opts.with_adaptive_levenberg_marquardt
+
+        def _iteration(carry):
             (it, k, status, _, qp_tot, stat, aa, hist, gstate,
-             _res_prev) = carry
-            qp = linearize(form, static_rows, data, it, lm)
+             _res_prev, tstate) = carry
+            lm_k = _res_prev[4] if adaptive_lm else lm
+            qp = linearize(form, static_rows, data, it, lm_k)
             rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
             stat = stat.at[k, 0].set(rs).at[k, 1].set(re) \
                        .at[k, 2].set(ri).at[k, 3].set(rc)
@@ -564,8 +607,23 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             done = converged | unbounded | nan | qp_fatal | small_step
             # k advances only when we actually stepped
             k_new = jnp.where(converged, k, k + 1)
+            if adaptive_lm:
+                # reference adaptive LM: shrink on stationarity-residual
+                # decrease, grow otherwise (acados_ocp_options.py:136-140)
+                lam_f = jnp.asarray(
+                    opts.adaptive_levenberg_marquardt_lam, dtype)
+                mu_min = jnp.asarray(
+                    opts.adaptive_levenberg_marquardt_mu_min, dtype)
+                lm_next = jnp.where(
+                    k == 0, lm_k,
+                    jnp.where(rs < _res_prev[0],
+                              jnp.maximum(mu_min, lm_k / lam_f),
+                              lm_k * lam_f))
+                res_state = (rs, re, ri, rc, lm_next)
+            else:
+                res_state = (rs, re, ri, rc)
             return (it_new, k_new, new_status, done, qp_tot, stat, aa,
-                    hist, gstate, (rs, re, ri, rc))
+                    hist, gstate, res_state, tstate)
 
         status0 = jnp.asarray(2, jnp.int32)  # MAXITER unless terminated
         zero_step = jax.tree.map(jnp.zeros_like, init)
@@ -590,12 +648,72 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                    dtype), jnp.asarray(False))
         else:
             gstate0 = ()
+        timeout_on = opts.timeout_max_time > 0.0
+        tdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        def _clock():
+            from jax.experimental import io_callback
+            return io_callback(_wall_clock,
+                               jax.ShapeDtypeStruct((), tdtype),
+                               ordered=True)
+
+        if timeout_on:
+            def body(carry):
+                (it, k, status, done_, qp_tot, stat, aa, hist, gstate,
+                 res_prev, (t_start, t_prev, pred)) = carry
+                t_now = _clock()
+                iter_time = t_now - t_prev
+                h = opts.timeout_heuristic
+                if h == "ZERO":
+                    pred_new = jnp.zeros((), tdtype)
+                elif h == "LAST":
+                    pred_new = iter_time
+                elif h == "MAX":
+                    pred_new = jnp.maximum(pred, iter_time)
+                elif h == "AVERAGE":
+                    # reference: exponentially weighted average
+                    pred_new = jnp.where(k > 0,
+                                         0.5 * (pred + iter_time),
+                                         iter_time)
+                else:
+                    raise ValueError(
+                        f"timeout_heuristic {opts.timeout_heuristic!r}")
+                pred_new = jnp.where(k > 0, pred_new,
+                                     jnp.zeros((), tdtype))
+                hit = ((k > 0) & ((t_now - t_start) + pred_new
+                                  > opts.timeout_max_time))
+                carry2 = (it, k, status, done_, qp_tot, stat, aa, hist,
+                          gstate, res_prev, (t_start, t_now, pred_new))
+
+                def mark_timeout(c):
+                    (it_, k_, _st, _dn, qt, st_, aa_, h_, gs_, rp_,
+                     ts_) = c
+                    return (it_, k_, jnp.asarray(7, jnp.int32),
+                            jnp.asarray(True), qt, st_, aa_, h_, gs_,
+                            rp_, ts_)
+
+                return jax.lax.cond(hit, mark_timeout, _iteration,
+                                    carry2)
+        else:
+            body = _iteration
+
+        nres = 5 if opts.with_adaptive_levenberg_marquardt else 4
         zero4 = tuple(jnp.zeros((), dtype) for _ in range(4))
+        if opts.with_adaptive_levenberg_marquardt:
+            zero4 = zero4 + (jnp.asarray(
+                opts.adaptive_levenberg_marquardt_mu0, dtype),)
+        del nres
+        if timeout_on:
+            t0_ = _clock()
+            tstate0 = (t0_, t0_, jnp.zeros((), tdtype))
+        else:
+            tstate0 = ()
         carry0 = (init, jnp.asarray(0, jnp.int32), status0,
                   jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0,
-                  aa0, hist0, gstate0, zero4)
+                  aa0, hist0, gstate0, zero4, tstate0)
         (it, k, status, done, qp_tot, stat, _aa, hist,
-         _gs, res_last) = jax.lax.while_loop(cond, body, carry0)
+         _gs, res_last, _ts) = jax.lax.while_loop(cond, body, carry0)
+        res_last = res_last[:4]
 
         if opts.rti:
             # RTI semantics (reference ocp_nlp_sqp_rti.c): no
@@ -615,7 +733,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                    .at[k, 3].set(rc)
         converged = ((rs < opts.tol_stat) & (re < opts.tol_eq)
                      & (ri < opts.tol_ineq) & (rc < opts.tol_comp))
-        status = jnp.where(converged, 0, status)
+        status = jnp.where(converged & (status != 7), 0, status)
         if opts.rti:
             # MAXITER / MINSTEP are success for the real-time iteration
             status = jnp.where((status == 2) | (status == 3), 0, status)

@@ -21,9 +21,12 @@ applies, with a FIXED penalty rho -> the factorization is computed once
 and reused for every iteration (a structural advantage over the IPM's
 barrier-dependent factorization).
 
-Limitations (documented, reference OSQP shares them): no soft-constraint
-slack structure (soft rows are treated as hard); accuracy is
-first-order-typical — use the IPM for tight tolerances.
+Soft rows use the exact prox of the L1+L2 slack penalty in the z-update
+(closed form, below) — the same penalty the IPM eliminates analytically.
+Termination is residual-based inside a `lax.while_loop` (true num_iter
+in the info struct). Accuracy is first-order-typical — use the IPM for
+tight tolerances; ADMM's niche is moderate-accuracy throughput: the
+fixed rho means ONE Riccati factorization serves every iteration.
 """
 from __future__ import annotations
 
@@ -94,41 +97,62 @@ def _solve(qp: OcpQp, opts: AdmmOpts):
         dv = jnp.einsum("kij,ki->kj", qp.D, v[:-1])
         return cv, dv
 
+    soft = qp.soft_mask * mask
+
+    def z_prox(v):
+        """z-update. Hard rows: clip. Soft rows: exact prox of the
+        L1+L2 slack penalty phi(z) = zl*(l-z)_+ + Zl/2 (l-z)_+^2 +
+        zu*(z-u)_+ + Zu/2 (z-u)_+^2 — closed form per branch:
+        argmin_z rho/2 (z-v)^2 + phi(z)."""
+        z_hard = jnp.clip(v, lo, hi)
+        z_low = (rho * v + qp.zl + qp.Zl * lo) / (rho + qp.Zl)
+        z_up = (rho * v - qp.zu + qp.Zu * hi) / (rho + qp.Zu)
+        z_soft = jnp.where(v < lo - qp.zl / rho, z_low,
+                           jnp.where(v > hi + qp.zu / rho, z_up,
+                                     z_hard))
+        return jnp.where(soft > 0, z_soft, z_hard)
+
     z0 = jnp.clip(jnp.zeros_like(qp.lg), lo, hi) * mask
     y0 = jnp.zeros_like(qp.lg)
-
     w0 = (jnp.zeros_like(qp.q), jnp.zeros_like(qp.r),
           jnp.zeros_like(qp.b))
 
-    def body(carry, _):
-        z, y, w, _, _ = carry
+    def cond(carry):
+        _, _, _, r_prim, r_dual, k = carry
+        done = (r_prim < opts.tol_prim) & (r_dual < opts.tol_dual)
+        return jnp.logical_and(k < opts.iter_max, jnp.logical_not(done))
+
+    def body(carry):
+        z, y, w, _, _, k = carry
         # w-update: rhs gradient g + rho G'(y - z)
         cv, dv = row_op_T(rho * mask * (y - z))
         dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qp.q + cv,
                                     qp.r + dv, qp.b)
         t = _stage_g(qp, dx, du) * mask
         t_rel = opts.alpha_relax * t + (1 - opts.alpha_relax) * z
-        z_new = jnp.clip(t_rel + y, lo, hi) * mask
+        z_new = z_prox(t_rel + y) * mask
         y_new = (y + t_rel - z_new) * mask
         r_prim = jnp.max(jnp.abs((t - z_new) * mask))
         r_dual = jnp.max(rho * jnp.abs(z_new - z))
-        return (z_new, y_new, (dx, du, dpi), r_prim, r_dual), None
+        return (z_new, y_new, (dx, du, dpi), r_prim, r_dual, k + 1)
 
-    (z, y, (dx, du, dpi), r_prim, r_dual), _ = jax.lax.scan(
-        body, (z0, y0, w0, jnp.asarray(jnp.inf, dt),
-               jnp.asarray(jnp.inf, dt)), None, length=opts.iter_max)
+    (z, y, (dx, du, dpi), r_prim, r_dual, k) = jax.lax.while_loop(
+        cond, body,
+        (z0, y0, w0, jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+         jnp.asarray(0, jnp.int32)))
 
     lam = rho * y  # scaled dual -> row multipliers
     lam_l = jnp.maximum(-lam, 0.0) * qp.mask_l
     lam_u = jnp.maximum(lam, 0.0) * qp.mask_u
     t_val = _stage_g(qp, dx, du)
+    sl = jnp.maximum(lo - z, 0.0) * soft
+    su = jnp.maximum(z - hi, 0.0) * soft
     sol = OcpQpSol(x=dx, u=du, pi=dpi,
                    lam_lg=lam_l, lam_ug=lam_u,
                    t_lg=t_val - qp.lg, t_ug=qp.ug - t_val,
-                   sl=jnp.zeros_like(lam_l), su=jnp.zeros_like(lam_u))
+                   sl=sl, su=su)
     converged = (r_prim < opts.tol_prim) & (r_dual < opts.tol_dual)
-    info = IpmInfo(num_iter=jnp.asarray(opts.iter_max, jnp.int32),
-                   mu=r_prim, res_stat=r_dual, res_eq=jnp.asarray(0.0, dt),
-                   res_ineq=r_prim,
+    info = IpmInfo(num_iter=k, mu=r_prim, res_stat=r_dual,
+                   res_eq=jnp.asarray(0.0, dt), res_ineq=r_prim,
                    status=jnp.where(converged, 0, 2).astype(jnp.int32))
     return sol, info

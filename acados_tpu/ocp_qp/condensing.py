@@ -123,12 +123,34 @@ def _condense_block(A, B, b, Q, R, S, q, r, C, D, lg, ug):
             C_bar, D_bar, lg_bar, ug_bar, cache)
 
 
-def partial_condense(qp: OcpQp, N2: int):
+def _resolve_keep(nc, keep_rows):
+    """Static per-stage-class row-keep counts (n0, npath, nterm)."""
+    if keep_rows is None:
+        return nc, nc, nc
+    if len(keep_rows) == 2:
+        n0, npth = keep_rows
+        ne = nc
+    else:
+        n0, npth, ne = keep_rows
+    return min(int(n0), nc), min(int(npth), nc), min(int(ne), nc)
+
+
+def partial_condense(qp: OcpQp, N2: int, keep_rows=None):
     """Condense an N-stage OcpQp to N2 stages (N2 must divide N).
 
-    Returns (qp_cond, cache). qp_cond has nu_bar = M*nu and nc_bar = M*nc;
-    the terminal stage carries the original terminal cost/rows (padded to
-    nc_bar with disabled masks).
+    keep_rows: optional static (n0, npath) — the number of REAL rows of
+    the initial / path stage classes (form.con_0.nrows, form.con.nrows).
+    Rows beyond these are padding (statically disabled masks) and are
+    PRUNED before condensing, so the condensed stage carries
+    M*npath (+ stage-0 extras) rows instead of M*nc. This is the HPIPM
+    analog of not promoting absent rows to general constraints
+    (ocp_qp_partial_condensing.c:172-253 keeps only real rows); without
+    it the row blowup swamps the scan-length saving (round-2 bench).
+    Stage 0's rows beyond npath (e.g. the x0 equality rows) attach to
+    condensed stage 0 uneliminated: its block-entry state IS x0.
+
+    Returns (qp_cond, cache). The terminal stage carries the original
+    terminal rows (padded into the condensed row budget).
     """
     d = qp.dims
     N, nx, nu, nc = d.N, d.nx, d.nu, d.nc
@@ -137,59 +159,94 @@ def partial_condense(qp: OcpQp, N2: int):
                          f"N2={N2}")
     M = N // N2
     dt = qp.q.dtype
+    n0, npth, ne = _resolve_keep(nc, keep_rows)
+    n_extra = max(0, n0 - npth)
+    ncb = max(M * npth + n_extra, ne)
 
     def blk(a):
         return a.reshape((N2, M) + a.shape[1:])
 
     out = jax.vmap(_condense_block)(
         blk(qp.A), blk(qp.B), blk(qp.b), blk(qp.Q[:N]), blk(qp.R),
-        blk(qp.S), blk(qp.q[:N]), blk(qp.r), blk(qp.C[:N]), blk(qp.D),
-        blk(qp.lg[:N]), blk(qp.ug[:N]))
+        blk(qp.S), blk(qp.q[:N]), blk(qp.r),
+        blk(qp.C[:N])[:, :, :npth], blk(qp.D)[:, :, :npth],
+        blk(qp.lg[:N])[:, :, :npth], blk(qp.ug[:N])[:, :, :npth])
     (Q_b, R_b, S_b, q_b, r_b, A_b, B_b, b_b, C_b, D_b, lg_b, ug_b,
      (Gams, Phis, gams)) = out
 
-    ncb = M * nc
-    pad_c = jnp.zeros((1, ncb, nx), dt).at[0, :nc].set(qp.C[N])
-    pad = lambda v, fill: jnp.full((1, ncb), fill, dt).at[0, :nc].set(v[N])
+    nrb = M * npth
+
+    def rows_mat(Cp, term_C):
+        """(N2, nrb, k) path rows -> (N2+1, ncb, k) padded + terminal."""
+        k = term_C.shape[-1]
+        out = jnp.zeros((N2 + 1, ncb, k), dt)
+        out = out.at[:N2, :nrb].set(Cp.reshape(N2, nrb, k))
+        return out.at[N2, :ne].set(term_C[:ne])
+
+    def rows_vec(vp, term_v, fill):
+        out = jnp.full((N2 + 1, ncb), fill, dt)
+        out = out.at[:N2, :nrb].set(vp.reshape(N2, nrb))
+        return out.at[N2, :ne].set(term_v[:ne])
+
+    def stage_rows_vec(v, fill):
+        """Original (N+1, nc) row vector -> condensed layout."""
+        path = blk(v[:N])[:, :, :npth]
+        return rows_vec(path, v[N], fill)
+
+    C = rows_mat(C_b, qp.C[N])
+    D = jnp.zeros((N2, ncb, M * nu), dt).at[:, :nrb].set(
+        D_b.reshape(N2, nrb, M * nu))
+    lg = rows_vec(lg_b, qp.lg[N], -1.0)
+    ug = rows_vec(ug_b, qp.ug[N], 1.0)
+    mask_l = stage_rows_vec(qp.mask_l, 0.0)
+    mask_u = stage_rows_vec(qp.mask_u, 0.0)
+    Zl = stage_rows_vec(qp.Zl, 0.0)
+    Zu = stage_rows_vec(qp.Zu, 0.0)
+    zl = stage_rows_vec(qp.zl, 0.0)
+    zu = stage_rows_vec(qp.zu, 0.0)
+    soft = stage_rows_vec(qp.soft_mask, 0.0)
+
+    if n_extra:
+        # stage-0 rows npth:n0, attached directly (Gam_0 = I, Phi_0 = 0)
+        sl_ = slice(npth, n0)
+        C = C.at[0, nrb:nrb + n_extra].set(qp.C[0, sl_])
+        D = D.at[0, nrb:nrb + n_extra, :nu].set(qp.D[0, sl_])
+        lg = lg.at[0, nrb:nrb + n_extra].set(qp.lg[0, sl_])
+        ug = ug.at[0, nrb:nrb + n_extra].set(qp.ug[0, sl_])
+        mask_l = mask_l.at[0, nrb:nrb + n_extra].set(qp.mask_l[0, sl_])
+        mask_u = mask_u.at[0, nrb:nrb + n_extra].set(qp.mask_u[0, sl_])
+        Zl = Zl.at[0, nrb:nrb + n_extra].set(qp.Zl[0, sl_])
+        Zu = Zu.at[0, nrb:nrb + n_extra].set(qp.Zu[0, sl_])
+        zl = zl.at[0, nrb:nrb + n_extra].set(qp.zl[0, sl_])
+        zu = zu.at[0, nrb:nrb + n_extra].set(qp.zu[0, sl_])
+        soft = soft.at[0, nrb:nrb + n_extra].set(qp.soft_mask[0, sl_])
 
     qp_cond = OcpQp(
         Q=jnp.concatenate([Q_b, qp.Q[N][None]]),
         R=R_b, S=S_b,
         q=jnp.concatenate([q_b, qp.q[N][None]]),
         r=r_b, A=A_b, B=B_b, b=b_b,
-        C=jnp.concatenate([C_b.reshape(N2, ncb, nx), pad_c]),
-        D=D_b.reshape(N2, ncb, M * nu),
-        lg=jnp.concatenate([lg_b.reshape(N2, ncb), pad(qp.lg, -1.0)]),
-        ug=jnp.concatenate([ug_b.reshape(N2, ncb), pad(qp.ug, 1.0)]),
-        mask_l=jnp.concatenate([blk(qp.mask_l[:N]).reshape(N2, ncb),
-                                pad(qp.mask_l, 0.0)]),
-        mask_u=jnp.concatenate([blk(qp.mask_u[:N]).reshape(N2, ncb),
-                                pad(qp.mask_u, 0.0)]),
-        Zl=jnp.concatenate([blk(qp.Zl[:N]).reshape(N2, ncb),
-                            pad(qp.Zl, 0.0)]),
-        Zu=jnp.concatenate([blk(qp.Zu[:N]).reshape(N2, ncb),
-                            pad(qp.Zu, 0.0)]),
-        zl=jnp.concatenate([blk(qp.zl[:N]).reshape(N2, ncb),
-                            pad(qp.zl, 0.0)]),
-        zu=jnp.concatenate([blk(qp.zu[:N]).reshape(N2, ncb),
-                            pad(qp.zu, 0.0)]),
-        soft_mask=jnp.concatenate([blk(qp.soft_mask[:N]).reshape(N2, ncb),
-                                   pad(qp.soft_mask, 0.0)]),
+        C=C, D=D, lg=lg, ug=ug, mask_l=mask_l, mask_u=mask_u,
+        Zl=Zl, Zu=Zu, zl=zl, zu=zu, soft_mask=soft,
     )
     return qp_cond, PartialCondCache(Gams=Gams, Phis=Phis, gams=gams)
 
 
 def partial_expand(qp: OcpQp, cache: PartialCondCache,
-                   sol_c: OcpQpSol) -> OcpQpSol:
+                   sol_c: OcpQpSol, keep_rows=None) -> OcpQpSol:
     """Expand a condensed solution back to the full horizon.
 
-    Interior dynamics multipliers are recovered from the stationarity
-    identity at eliminated states:
+    keep_rows must match the partial_condense call. Interior dynamics
+    multipliers are recovered from the stationarity identity at
+    eliminated states:
       pi_{k-1} = Q_k x_k + q_k + S_k'u_k - C_k'lam_k + A_k'pi_k .
     """
     d = qp.dims
     N, nx, nu, nc = d.N, d.nx, d.nu, d.nc
     N2, M = cache.Gams.shape[0], cache.Gams.shape[1]
+    n0, npth, ne = _resolve_keep(nc, keep_rows)
+    n_extra = max(0, n0 - npth)
+    nrb = M * npth
 
     xb = sol_c.x            # (N2+1, nx)
     ub = sol_c.u            # (N2, M*nu)
@@ -201,16 +258,20 @@ def partial_expand(qp: OcpQp, cache: PartialCondCache,
                 + cache.gams)
     x = jnp.concatenate([x_blocks.reshape(N, nx), xb[N2][None]])
 
-    def unblk(v_c, v_term_fill=None):
-        """Condensed rows (N2+1, M*nc) -> original rows (N+1, nc)."""
-        path = v_c[:N2].reshape(N, nc)
-        term = v_c[N2, :nc]
-        return jnp.concatenate([path, term[None]])
+    def unblk(v_c, fill=0.0):
+        """Condensed rows (N2+1, ncb) -> original rows (N+1, nc); pruned
+        padding rows take their disabled-row default `fill`."""
+        out = jnp.full((N + 1, nc), fill, v_c.dtype)
+        path = v_c[:N2, :nrb].reshape(N, npth)
+        out = out.at[:N, :npth].set(path)
+        if n_extra:
+            out = out.at[0, npth:n0].set(v_c[0, nrb:nrb + n_extra])
+        return out.at[N, :ne].set(v_c[N2, :ne])
 
     lam_l = unblk(sol_c.lam_lg)
     lam_u = unblk(sol_c.lam_ug)
-    t_l = unblk(sol_c.t_lg)
-    t_u = unblk(sol_c.t_ug)
+    t_l = unblk(sol_c.t_lg, fill=1.0)
+    t_u = unblk(sol_c.t_ug, fill=1.0)
     sl = unblk(sol_c.sl)
     su = unblk(sol_c.su)
 
@@ -250,17 +311,23 @@ def partial_expand(qp: OcpQp, cache: PartialCondCache,
                     t_lg=t_l, t_ug=t_u, sl=sl, su=su)
 
 
-def condense_warm(warm: OcpQpSol, N2: int) -> OcpQpSol:
-    """Map a full-horizon warm start onto the condensed variables."""
+def condense_warm(warm: OcpQpSol, N2: int, keep_rows=None) -> OcpQpSol:
+    """Map a full-horizon warm start onto the condensed variables
+    (row layout must match partial_condense's keep_rows)."""
     N = warm.u.shape[0]
     M = N // N2
     nc = warm.lam_lg.shape[-1]
-    ncb = M * nc
+    n0, npth, ne = _resolve_keep(nc, keep_rows)
+    n_extra = max(0, n0 - npth)
+    nrb = M * npth
+    ncb = max(nrb + n_extra, ne)
 
     def rows(v, fill):
-        path = v[:N].reshape(N2, ncb)
-        term = jnp.full((1, ncb), fill, v.dtype).at[0, :nc].set(v[N])
-        return jnp.concatenate([path, term])
+        out = jnp.full((N2 + 1, ncb), fill, v.dtype)
+        out = out.at[:N2, :nrb].set(v[:N, :npth].reshape(N2, nrb))
+        if n_extra:
+            out = out.at[0, nrb:nrb + n_extra].set(v[0, npth:n0])
+        return out.at[N2, :ne].set(v[N, :ne])
 
     return OcpQpSol(
         x=jnp.concatenate([warm.x[:N:M], warm.x[N][None]]),

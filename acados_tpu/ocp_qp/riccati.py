@@ -31,16 +31,16 @@ from acados_tpu.utils.struct import pytree_dataclass
 
 
 def _chol(H):
-    """Cholesky dispatch: unrolled jnp for tiny static n (fuses into the
-    scan body — XLA's cholesky custom-call overhead dominates there),
-    stock XLA above the unroll cap."""
-    if H.shape[-1] <= UNROLL_MAX_N:
+    """Cholesky dispatch: unrolled jnp for tiny static n ON TPU (fuses
+    into the scan body — XLA's cholesky custom-call overhead dominates
+    there); LAPACK elsewhere (CPU oracles keep LAPACK rounding)."""
+    if H.shape[-1] <= UNROLL_MAX_N and jax.default_backend() == "tpu":
         return chol_unrolled(H)
     return jnp.linalg.cholesky(H)
 
 
 def _cho_solve(L, B):
-    if L.shape[-1] <= UNROLL_MAX_N:
+    if L.shape[-1] <= UNROLL_MAX_N and jax.default_backend() == "tpu":
         return cho_solve_unrolled(L, B)
     return jax.scipy.linalg.cho_solve((L, True), B)
 
@@ -236,11 +236,14 @@ def parallel_riccati_factor(Qb, Rb, Sb, A, B,
     def combine(ej, ei):
         # reverse scan: jax passes (later, earlier); we need i (earlier)
         # ⊗ j (later)
+        from acados_tpu.ops.linsolve import linsolve
         Aj, Cj, Jj = ej
         Ai, Ci, Ji = ei
         M = eye_x + Ci @ Jj
-        MiAi = jnp.linalg.solve(M, Ai)
-        MiCi = jnp.linalg.solve(M, Ci)
+        # one factorization, both right-hand sides (lane-batched Pallas
+        # inverse on TPU — XLA's pivoted LU serializes here)
+        MiAC = linsolve(M, jnp.concatenate([Ai, Ci], axis=-1))
+        MiAi, MiCi = MiAC[..., :nx], MiAC[..., nx:]
         A_n = Aj @ MiAi
         C_n = Aj @ MiCi @ Aj.T + Cj
         J_n = Ai.T @ Jj @ MiAi + Ji

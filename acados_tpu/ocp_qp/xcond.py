@@ -36,10 +36,11 @@ def resolve_cond_N(N: int, cond_N) -> int | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("cond_N", "full_cond"))
+@partial(jax.jit, static_argnames=("cond_N", "full_cond", "keep_rows"))
 def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
                        full_cond: bool = False,
-                       warm: OcpQpSol | None = None, backend=None):
+                       warm: OcpQpSol | None = None, backend=None,
+                       keep_rows=None):
     """Solve an OcpQp through the condensing front-end.
 
     cond_N: partial-condensing horizon (must divide N; use resolve_cond_N);
@@ -60,7 +61,8 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
         return full_expand(qp, cache, sol_d), info
     if cond_N is None or cond_N >= qp.dims.N:
         return backend(qp, opts, warm=warm)
-    qp_c, cache = partial_condense(qp, cond_N)
-    warm_c = None if warm is None else condense_warm(warm, cond_N)
+    qp_c, cache = partial_condense(qp, cond_N, keep_rows=keep_rows)
+    warm_c = None if warm is None else condense_warm(warm, cond_N,
+                                                    keep_rows=keep_rows)
     sol_c, info = backend(qp_c, opts, warm=warm_c)
-    return partial_expand(qp, cache, sol_c), info
+    return partial_expand(qp, cache, sol_c, keep_rows=keep_rows), info

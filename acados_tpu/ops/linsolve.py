@@ -75,8 +75,14 @@ def linsolve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if b.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, b[..., None])[..., 0]
         return jnp.linalg.solve(A, b)
-    from acados_tpu.ops.batched_inv import gj_inverse_any
-    Ainv = gj_inverse_any(A)
+    if A.shape[-1] <= 8:
+        # tiny systems: the in-line masked elimination fuses into the
+        # surrounding program (a Pallas launch costs more than it saves,
+        # e.g. inside the parallel-Riccati combine at nx ~ 4)
+        Ainv = gj_inverse(A)
+    else:
+        from acados_tpu.ops.batched_inv import gj_inverse_any
+        Ainv = gj_inverse_any(A)
     with jax.default_matmul_precision("highest"):
         if b.ndim == A.ndim - 1:
             return jnp.einsum("...ij,...j->...i", Ainv, b)

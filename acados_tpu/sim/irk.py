@@ -134,7 +134,12 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
     True freezes the Newton Jacobian at the predictor point (1 build/step).
 
     Returns step_jac(x, u, p, t0, dt) -> (x_next, A, B) with
-    A = dx_next/dx (nx, nx), B = dx_next/du (nx, nu).
+    A = dx_next/dx (nx, nx), B = dx_next/du (nx, nu). When nz > 0 the
+    return extends to (x_next, A, B, z0, Jz): z0 is the algebraic
+    variable at the interval START (collocation polynomial extrapolated
+    to tau=0, reference sim_irk z output) and Jz = dz0/d(x,u)
+    (nz, nx+nu) — the reference's S_algebraic/dzduxt packed into the QP
+    by ocp_nlp_dynamics_cont.c:847-851.
     """
     if collocation.upper() in ("GAUSS_LEGENDRE", "GAUSS"):
         A_t, b_t, c_t = gauss_legendre_tableau(num_stages)
@@ -144,12 +149,20 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
         raise ValueError(f"unknown collocation {collocation}")
     ns = num_stages
     nw = ns * (nx + nz)
+    # Lagrange extrapolation weights of the collocation basis at tau=0
+    import numpy as _np
+    zw0 = _np.zeros(ns)
+    for j in range(ns):
+        others = _np.delete(_np.asarray(c_t), j)
+        zw0[j] = (_np.prod((0.0 - others) / (c_t[j] - others))
+                  if ns > 1 else 1.0)
 
     def step_jac(x, u, p, t0, dt):
         h = dt / num_steps
         A_ = jnp.asarray(A_t, x.dtype)
         b_ = jnp.asarray(b_t, x.dtype)
         c_ = c_t.astype(x.dtype)
+        zw0_ = jnp.asarray(zw0, x.dtype)
         eye = jnp.eye(nx, dtype=x.dtype)
 
         def res_of(w, x0, uu, t):
@@ -169,7 +182,7 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
             inv = jnp.linalg.inv
 
         def substep(carry, i):
-            x_k, Sx, Su, w = carry
+            x_k, Sx, Su, w, z0, Jz = carry
             t = t0 + i * h
             Ji = None
             for it_ in range(newton_iter):
@@ -191,17 +204,80 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
             G = h * jnp.einsum("s,sij->ij", b_, dK)
             A_sub = eye + G[:, :nx]
             B_sub = G[:, nx:]
-            return (x_next, A_sub @ Sx, A_sub @ Su + B_sub, w), None
+            if nz > 0:
+                # capture z(t0) + dz/d(x,u) at the FIRST substep, where
+                # d(x_k,u)/d(x,u) is the identity
+                Z = w[ns * nx:].reshape(ns, nz)
+                dZ = dW[ns * nx:].reshape(ns, nz, nx + nu)
+                first = (i == 0)
+                z0 = jnp.where(first, zw0_ @ Z, z0)
+                Jz = jnp.where(first,
+                               jnp.einsum("s,szj->zj", zw0_, dZ), Jz)
+            return (x_next, A_sub @ Sx, A_sub @ Su + B_sub, w, z0,
+                    Jz), None
 
         nu = u.shape[-1]
-        (x_out, Sx, Su, _w), _ = jax.lax.scan(
+        (x_out, Sx, Su, _w, z0, Jz), _ = jax.lax.scan(
             substep, (x, jnp.eye(nx, dtype=x.dtype),
                       jnp.zeros((nx, nu), x.dtype),
-                      jnp.zeros((nw,), x.dtype)),
+                      jnp.zeros((nw,), x.dtype),
+                      jnp.zeros((nz,), x.dtype),
+                      jnp.zeros((nz, nx + nu), x.dtype)),
             jnp.arange(num_steps))
+        if nz > 0:
+            return x_out, Sx, Su, z0, Jz
         return x_out, Sx, Su
 
     return jax.jit(step_jac)
+
+
+def make_irk_z0_fun(f_impl, nx: int, nz: int, num_stages: int = 3,
+                    newton_iter: int = 3,
+                    collocation: str = "GAUSS_LEGENDRE"):
+    """z(t0) evaluator: solve the first collocation stage system at
+    (x, u) and extrapolate the algebraic stages to tau=0 (reference
+    sim_irk z output). Used by merit/constraint evaluation at trial
+    points when the NLP formulation references z."""
+    if collocation.upper() in ("GAUSS_LEGENDRE", "GAUSS"):
+        A_t, _, c_t = gauss_legendre_tableau(num_stages)
+    elif collocation.upper() in ("RADAU_IIA", "RADAU"):
+        A_t, _, c_t = radau_iia_tableau(num_stages)
+    else:
+        raise ValueError(f"unknown collocation {collocation}")
+    import numpy as _np
+    ns = num_stages
+    zw0 = _np.zeros(ns)
+    for j in range(ns):
+        others = _np.delete(_np.asarray(c_t), j)
+        zw0[j] = (_np.prod((0.0 - others) / (c_t[j] - others))
+                  if ns > 1 else 1.0)
+    nw = ns * (nx + nz)
+
+    def z0_fun(x, u, p, t0, dt):
+        h = dt  # first substep length is dt/num_steps at the OCP level;
+        # z(t0) is h-independent at convergence up to O(h) consistency —
+        # use the passed dt directly (callers pass dt/num_steps when they
+        # care; the extrapolation point is tau=0 either way)
+        A_ = jnp.asarray(A_t, x.dtype)
+        c_ = c_t.astype(x.dtype)
+        zw0_ = jnp.asarray(zw0, x.dtype)
+
+        def res(w):
+            K = w[: ns * nx].reshape(ns, nx)
+            Z = w[ns * nx:].reshape(ns, nz)
+            xi = x[None, :] + h * (A_ @ K)
+            r = [f_impl(K[i], xi[i], Z[i], u, p, t0 + c_[i] * h)
+                 for i in range(ns)]
+            return jnp.concatenate(r)
+
+        w = jnp.zeros((nw,), x.dtype)
+        for _ in range(newton_iter):
+            J = jax.jacfwd(res)(w)
+            w = w - linsolve(J, res(w))
+        Z = w[ns * nx:].reshape(ns, nz)
+        return zw0_ @ Z
+
+    return jax.jit(z0_fun)
 
 
 def implicit_from_explicit(f_expl):

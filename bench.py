@@ -281,8 +281,12 @@ def bench_long_horizon_rti(N=128, B=1024):
 
 def bench_latency(N=128, B=8):
     """Small-batch latency regime (one controller, fast sampling): the
-    sequential scan is latency-bound; the log-depth parallel Riccati's
-    extra FLOPs are free here. Reports per-solve latency."""
+    sequential scan is latency-bound. Partial condensing (with static
+    row pruning) is the winning lever here — measured crossover vs the
+    plain scan at B=8 (cond_N = N/4: 4.4 ms vs 7.7 ms at N=128). The
+    log-depth parallel Riccati is also reported: its extra FLOPs are
+    free at tiny batch, but per-level overheads keep it behind the
+    1 us/step sequential scan on this chip."""
     import jax.numpy as jnp
 
     from acados_tpu.models.pendulum import make_pendulum_ocp
@@ -290,6 +294,7 @@ def bench_latency(N=128, B=8):
     out = {}
     for name, kw in {
         "plain": {},
+        f"cond_N{N // 4}": dict(opts_update=dict(cond_N=N // 4)),
         "parallel_riccati": dict(
             qp_opts_update=dict(parallel_riccati=True)),
     }.items():
@@ -302,6 +307,35 @@ def bench_latency(N=128, B=8):
         dt_s, (_it2, stats2) = _time(solve_batch, data, it, reps=10)
         ent = dict(latency_ms=round(dt_s * 1e3, 3), batch=B, N=N)
         ent.update(_residual_fields(stats2, _LONGH_TOLS))
+        out[name] = ent
+    return out
+
+
+def bench_admm_backend(B=4096, N=20):
+    """RTI with the ADMM QP backend vs the IPM (same model/batch): the
+    user-facing answer to "when pick ADMM" — one fixed-rho factorization
+    serves every iteration, trading final accuracy for per-iteration
+    cost (reference niche: the OSQP backend, ocp_qp_osqp.c)."""
+    import jax.numpy as jnp
+
+    from acados_tpu.models.pendulum import make_pendulum_ocp
+
+    out = {}
+    for name, kw in {
+        "ipm": {},
+        "admm": dict(opts_update=dict(qp_solver_name="ADMM")),
+    }.items():
+        solve_batch, data, init, ocp, _f, _o = _build_rti(
+            make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B,
+            jnp.float32, N=N, dtype="float32",
+            nlp_solver_type="SQP_RTI", **kw)
+        it, stats = _steady_state_rti(solve_batch, data, init)
+        dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+        so = ocp.solver_options
+        ent = dict(solves_per_s=round(B / dt_s, 1), batch=B)
+        ent.update(_residual_fields(st2, dict(
+            tol_stat=so.nlp_solver_tol_stat,
+            tol_eq=so.nlp_solver_tol_eq)))
         out[name] = ent
     return out
 
@@ -326,6 +360,7 @@ def main():
         out["chain_mass_rti_nx39"] = bench_chain_rti()
         out["long_horizon_rti_N128"] = bench_long_horizon_rti()
         out["latency_B8_N128"] = bench_latency(N=128, B=8)
+        out["admm_vs_ipm"] = bench_admm_backend()
     print(json.dumps(out))
 
 

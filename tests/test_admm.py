@@ -3,6 +3,7 @@ backend ocp_qp_osqp.c + the qp_solver plan enum,
 ocp_qp_interface.h:60-106)."""
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from acados_tpu.interface.acados_ocp import AcadosModel, AcadosOcp
@@ -10,7 +11,7 @@ from acados_tpu.interface.builder import build_ocp, data_to_jax
 from acados_tpu.ocp_nlp.linearize import build_static_rows, linearize
 from acados_tpu.ocp_nlp.sqp import SqpOpts, init_iterate, make_sqp_solver
 from acados_tpu.ocp_qp.admm import AdmmOpts, solve_ocp_qp_admm
-from acados_tpu.ocp_qp.ipm import solve_ocp_qp
+from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
 from acados_tpu.ocp_qp.registry import (available_qp_backends,
                                         get_qp_backend,
                                         register_qp_backend)
@@ -124,3 +125,39 @@ class TestScipyCrossCheck:
         assert oracle.solve(x_init=x_sqp, u_init=u_sqp) == 0
         x_orc = np.array([oracle.get(k, "x") for k in range(21)])
         np.testing.assert_allclose(x_sqp, x_orc, atol=1e-4)
+
+
+class TestAdmmHonest:
+    def test_early_termination_true_num_iter(self):
+        """Residual-based while_loop: num_iter reports the ACTUAL count
+        (round-2 review: the scan version always reported iter_max)."""
+        _, _, _, qp = make_di_qp()
+        sol, info = solve_ocp_qp_admm(qp, AdmmOpts(iter_max=3000,
+                                                   rho=1.0))
+        k = int(np.asarray(info.num_iter))
+        assert int(np.asarray(info.status)) == 0
+        assert 0 < k < 3000, k
+        # a looser tolerance terminates strictly earlier
+        _, info2 = solve_ocp_qp_admm(qp, AdmmOpts(
+            iter_max=3000, rho=1.0, tol_prim=1e-3, tol_dual=1e-3))
+        assert int(np.asarray(info2.num_iter)) < k
+
+    def test_soft_rows_match_ipm(self):
+        """Soft rows use the exact L1+L2 slack prox; solution matches
+        the IPM's closed-form slack elimination."""
+        from test_ocp_qp import random_ocp_qp
+        qp = random_ocp_qp(jax.random.PRNGKey(11), N=6, nx=3, nu=2,
+                           nc=2, soft=True, seed_scale=5.0)
+        sol_ipm, info_ipm = solve_ocp_qp(qp, IpmOpts(iter_max=60))
+        assert int(info_ipm.status) == 0
+        sol_admm, info_admm = solve_ocp_qp_admm(
+            qp, AdmmOpts(iter_max=20000, rho=1.0, tol_prim=1e-8,
+                         tol_dual=1e-8))
+        np.testing.assert_allclose(np.asarray(sol_admm.x),
+                                   np.asarray(sol_ipm.x), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(sol_admm.u),
+                                   np.asarray(sol_ipm.u), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(sol_admm.sl),
+                                   np.asarray(sol_ipm.sl), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(sol_admm.su),
+                                   np.asarray(sol_ipm.su), atol=5e-4)

@@ -192,3 +192,46 @@ class TestDenseIpm:
             sol_i, _ = solve_dense_qp(q, OPTS)
             np.testing.assert_allclose(np.asarray(sol_b.w[i]),
                                        np.asarray(sol_i.w), atol=1e-8)
+
+
+class TestKeepRowsPruning:
+    def test_keep_rows_parity(self):
+        """Static row pruning (keep_rows) gives the same expanded solution
+        as condensing all nc rows: padding rows carry disabled masks, so
+        dropping them cannot change the QP (reference analog: HPIPM only
+        promotes real rows, ocp_qp_partial_condensing.c:172-253)."""
+        qp = random_ocp_qp(jax.random.PRNGKey(9), N=8, nx=4, nu=2, nc=4)
+        npth = 2
+        # disable path rows >= npth: they become pure padding
+        ml = qp.mask_l.at[1:8, npth:].set(0.0)
+        mu = qp.mask_u.at[1:8, npth:].set(0.0)
+        qp = qp.replace(mask_l=ml, mask_u=mu)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        # stage 0 keeps all its 8 real rows (4 x0-pins + 4 ineq)
+        for N2 in (2, 4):
+            sol, info = solve_ocp_qp_xcond(qp, OPTS, cond_N=N2,
+                                           keep_rows=(8, npth))
+            assert int(info.status) == 0
+            np.testing.assert_allclose(np.asarray(sol.x),
+                                       np.asarray(sol_ref.x), atol=2e-6)
+            np.testing.assert_allclose(np.asarray(sol.u),
+                                       np.asarray(sol_ref.u), atol=2e-6)
+            np.testing.assert_allclose(np.asarray(sol.pi),
+                                       np.asarray(sol_ref.pi), atol=2e-5)
+            # multipliers on the kept (enabled) rows agree
+            ml_np = np.asarray(qp.mask_l)
+            lam_ref = np.asarray(sol_ref.lam_lg) * ml_np
+            lam = np.asarray(sol.lam_lg) * ml_np
+            np.testing.assert_allclose(lam, lam_ref, atol=2e-5,
+                                       rtol=1e-5)
+            res = kkt_residuals_qp(qp, sol)
+            assert max(res["stat"], res["eq"], res["ineq"],
+                       res["comp"]) < 1e-5
+
+    def test_keep_rows_shrinks_rows(self):
+        qp = random_ocp_qp(jax.random.PRNGKey(9), N=8, nx=4, nu=2, nc=4)
+        qp_c_full, _ = partial_condense(qp, 2)
+        qp_c_kept, _ = partial_condense(qp, 2, keep_rows=(4, 1, 4))
+        assert qp_c_full.lg.shape[-1] == 32   # M * nc_tot (nc_tot = 8)
+        assert qp_c_kept.lg.shape[-1] == 7    # M*npth + (n0 - npth)

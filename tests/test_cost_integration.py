@@ -1,0 +1,125 @@
+"""cost_discretization = INTEGRATOR: exact-value oracle + convergence.
+
+Reference: examples/acados_python/tests/test_cost_integration_value.py
+pins the integrated cost value to 1e-10 — the integrand is chosen so the
+RK quadrature is EXACT and the value is computable analytically.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acados_tpu.interface.acados_ocp import AcadosModel, AcadosOcp
+from acados_tpu.interface.solver import AcadosOcpSolver
+
+
+def _ocp(cost_discretization, cost_type="EXTERNAL", N=4, tf=1.0,
+         num_stages=4, num_steps=1):
+    """Double integrator with an EXTERNAL cubic-in-x cost: with u held
+    constant, x(tau) is quadratic in tau, so x1^2 is quartic — ERK4's
+    quadrature (degree-4-exact on the resulting polynomial sampling)
+    integrates our chosen cubic test integrand exactly."""
+    ocp = AcadosOcp()
+    m = AcadosModel()
+    m.name = "dint"
+    m.x, m.u = 2, 1
+    m.f_expl_expr = lambda x, u: jnp.concatenate([x[1:2], u])
+    ocp.model = m
+    ocp.solver_options.N_horizon = N
+    ocp.solver_options.tf = tf
+    ocp.solver_options.integrator_type = "ERK"
+    ocp.solver_options.sim_method_num_stages = num_stages
+    ocp.solver_options.sim_method_num_steps = num_steps
+    ocp.solver_options.cost_discretization = cost_discretization
+    ocp.solver_options.nlp_solver_type = "SQP"
+    ocp.solver_options.dtype = "float64"
+    ocp.constraints.x0 = np.array([1.0, 0.5])
+    if cost_type == "EXTERNAL":
+        ocp.cost.cost_type = "EXTERNAL"
+        m.cost_expr_ext_cost = lambda x, u: (x[1] ** 3 + x[0]
+                                             + 0.5 * u[0] ** 2)
+        ocp.cost.cost_type_e = "EXTERNAL"
+        m.cost_expr_ext_cost_e = lambda x: jnp.zeros((), x.dtype)
+    else:
+        ocp.cost.cost_type = "NONLINEAR_LS"
+        m.cost_y_expr = lambda x, u: jnp.concatenate([x, u])
+        ocp.cost.W = np.diag([1.0, 2.0, 0.1])
+        ocp.cost.yref = np.zeros(3)
+        ocp.cost.cost_type_e = "LINEAR_LS"
+        ocp.cost.Vx_e = np.eye(2)
+        ocp.cost.W_e = np.eye(2)
+        ocp.cost.yref_e = np.zeros(2)
+    return ocp
+
+
+class TestCostIntegrationValue:
+    def test_external_value_exact(self):
+        """Integrated EXTERNAL cost == analytic integral to 1e-10.
+
+        Dynamics x0' = x1, x1' = u with u = const per interval:
+        x1(tau) = v + u tau, x0(tau) = x + v tau + u tau^2/2.
+        Integrand l = x1^3 + x0 + u^2/2 is a cubic polynomial in tau —
+        exactly integrated by RK4's quadrature (Simpson, degree 3)."""
+        ocp = _ocp("INTEGRATOR")
+        # evaluate the integrated cost at a FIXED trajectory (no solve)
+        import jax
+        from acados_tpu.interface.builder import build_ocp, data_to_jax
+        from acados_tpu.ocp_nlp.linearize import (build_static_rows,
+                                                  eval_cost)
+        form, data_np, _ = build_ocp(ocp)
+        data = data_to_jax(data_np, jnp.float64)
+        N = 4
+        dt = 0.25
+        u_traj = np.array([[0.3], [-0.7], [1.1], [0.2]])
+        x_traj = np.zeros((N + 1, 2))
+        x_traj[0] = [1.0, 0.5]
+        for k in range(N):
+            x, v = x_traj[k]
+            uk = u_traj[k, 0]
+            x_traj[k + 1] = [x + v * dt + 0.5 * uk * dt ** 2,
+                             v + uk * dt]
+        soft = build_static_rows(form, jnp.float64)["soft"]
+        zeros = jnp.zeros((N + 1, form.nc), jnp.float64)
+        got = float(eval_cost(form, data, jnp.asarray(x_traj),
+                              jnp.asarray(u_traj), zeros, zeros, soft))
+
+        # analytic integral per interval
+        ref = 0.0
+        for k in range(N):
+            x, v = x_traj[k]
+            uk = u_traj[k, 0]
+            # int_0^dt (v + u t)^3 + (x + v t + u t^2/2) + u^2/2 dt
+            iv3 = ((v + uk * dt) ** 4 - v ** 4) / (4 * uk) \
+                if abs(uk) > 1e-14 else v ** 3 * dt
+            ix = x * dt + 0.5 * v * dt ** 2 + uk * dt ** 3 / 6
+            ref += iv3 + ix + 0.5 * uk ** 2 * dt
+        assert abs(got - ref) < 1e-10, (got, ref)
+
+    def test_euler_vs_integrator_differ_then_converge(self):
+        """EULER and INTEGRATOR disagree at coarse grids and agree in
+        the fine-num_steps limit (both approximate the same integral)."""
+        vals = {}
+        for disc in ("EULER", "INTEGRATOR"):
+            s = AcadosOcpSolver(_ocp(disc, cost_type="NONLINEAR_LS"))
+            assert s.solve() == 0
+            vals[disc] = s.get_cost()
+        assert abs(vals["EULER"] - vals["INTEGRATOR"]) > 1e-6
+
+        fine = {}
+        for disc in ("EULER", "INTEGRATOR"):
+            s = AcadosOcpSolver(_ocp(disc, cost_type="NONLINEAR_LS",
+                                     N=64, num_steps=2))
+            assert s.solve() == 0
+            fine[disc] = s.get_cost()
+        # both converge to the same integral: the gap shrinks with the
+        # grid (EULER is O(h), so it dominates the residual gap)
+        assert abs(fine["EULER"] - fine["INTEGRATOR"]) < 0.5 * abs(
+            vals["EULER"] - vals["INTEGRATOR"])
+        assert abs(fine["EULER"] - fine["INTEGRATOR"]) < 6e-3
+
+    def test_nls_integrated_gn_solves(self):
+        """Integrated NLS keeps Gauss-Newton structure: SQP converges."""
+        s = AcadosOcpSolver(_ocp("INTEGRATOR", cost_type="NONLINEAR_LS"))
+        assert s.solve() == 0
+        rs = s.get_residuals()
+        assert rs[0] < 1e-6

@@ -264,3 +264,70 @@ class TestAsRti:
         ocp.solver_options.as_rti_level = 0  # LEVEL_A
         solver = AcadosOcpSolver(ocp)
         assert solver.opts.as_rti_level == "A"
+
+
+class TestPGlobal:
+    def test_p_global_precompute(self):
+        """model.p_global + p_global_precompute_fun: the precomputed
+        global_data reaches every stage's callables as the parameter
+        tail (reference np_global/n_global_data split,
+        ocp_nlp_common.h:165-166 + p_global_precompute_fun.in.h)."""
+        import jax.numpy as jnp
+
+        from acados_tpu.interface.acados_ocp import AcadosModel, AcadosOcp
+        from acados_tpu.interface.solver import AcadosOcpSolver
+
+        ocp = AcadosOcp()
+        m = AcadosModel()
+        m.name = "pglob"
+        m.x, m.u, m.p = 2, 1, 1          # one stage parameter
+        m.p_global = 2                   # [mass, length]
+        # precompute: the "expensive" derived quantity m*l^2 (inertia)
+        m.p_global_precompute_fun = lambda pg: jnp.array(
+            [pg[0] * pg[1] ** 2])
+        # p layout: [p_stage(1) | p_global(2) | global_data(1)]
+
+        def f_expl(x, u, p, t):
+            inertia = p[3]
+            return jnp.concatenate([x[1:2], (u - p[0] * x[1:2]) / inertia])
+
+        m.f_expl_expr = f_expl
+        ocp.model = m
+        ocp.solver_options.N_horizon = 10
+        ocp.solver_options.tf = 1.0
+        ocp.solver_options.nlp_solver_type = "SQP"
+        ocp.solver_options.dtype = "float64"
+        ocp.parameter_values = np.array([0.1])      # stage damping
+        ocp.p_global_values = np.array([1.0, 1.0])  # inertia 1.0
+        ocp.constraints.x0 = np.array([1.0, 0.0])
+        ocp.cost.cost_type = "LINEAR_LS"
+        ocp.cost.Vx = np.vstack([np.eye(2), np.zeros((1, 2))])
+        ocp.cost.Vu = np.vstack([np.zeros((2, 1)), np.eye(1)])
+        ocp.cost.W = np.diag([1.0, 1.0, 0.1])
+        ocp.cost.yref = np.zeros(3)
+        ocp.cost.cost_type_e = "LINEAR_LS"
+        ocp.cost.Vx_e = np.eye(2)
+        ocp.cost.W_e = np.eye(2)
+        ocp.cost.yref_e = np.zeros(2)
+
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        u_inertia1 = np.array([s.get(k, "u") for k in range(10)])
+
+        # heavier inertia -> precompute updates -> different control
+        s.set_p_global_and_precompute_dependencies(np.array([2.0, 1.5]))
+        s.reset()
+        assert s.solve() == 0
+        u_heavy = np.array([s.get(k, "u") for k in range(10)])
+        assert np.max(np.abs(u_heavy - u_inertia1)) > 1e-3
+        # consistency: directly baking inertia 2*1.5^2=4.5 into p matches
+        ocp2 = ocp
+        s2 = AcadosOcpSolver(ocp2)
+        for k in range(11):
+            s2.set(k, "p", np.array([0.1, 2.0, 1.5, 4.5]))
+        assert s2.solve() == 0
+        u_direct = np.array([s2.get(k, "u") for k in range(10)])
+        np.testing.assert_allclose(u_heavy, u_direct, atol=1e-8)
+        # stage-part set preserves the global tail
+        s.set(3, "p", np.array([0.7]))
+        assert np.allclose(s._data["p"][3], [0.7, 2.0, 1.5, 4.5])

@@ -218,3 +218,65 @@ class TestAutoCostDetection:
         s = AcadosOcpSolver(ocp)
         assert ocp.cost.cost_type == "EXTERNAL"
         assert s.solve() == 0
+
+
+class TestPredictiveTimeout:
+    """In-loop wall-clock budget with per-iteration prediction
+    (reference ocp_nlp_sqp.c:436,611-635, heuristics ZERO/LAST/MAX/
+    AVERAGE)."""
+
+    def test_impossible_budget_times_out(self):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        ocp.solver_options.timeout_max_time = 1e-7
+        ocp.solver_options.timeout_heuristic = "LAST"
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 7  # ACADOS_TIMEOUT
+        assert s.get_stats("sqp_iter") < 5
+
+    @pytest.mark.parametrize("heur", ["ZERO", "LAST", "MAX", "AVERAGE"])
+    def test_generous_budget_converges(self, heur):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        ocp.solver_options.timeout_max_time = 120.0
+        ocp.solver_options.timeout_heuristic = heur
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+
+    def test_options_set_rebuilds(self):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        s.options_set("timeout_max_time", 1e-7)
+        s.reset()
+        assert s.solve() == 7
+
+
+class TestOptionsTail:
+    def test_adaptive_levenberg_marquardt(self):
+        """Adaptive LM converges on the pendulum and shuts itself down
+        (lm -> mu_min) near the solution; reference
+        with_adaptive_levenberg_marquardt (acados_ocp_options.py:136)."""
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        ocp.solver_options.with_adaptive_levenberg_marquardt = True
+        ocp.solver_options.adaptive_levenberg_marquardt_mu0 = 1e-2
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        assert s.get_residuals()[0] < 1e-6
+
+    @pytest.mark.parametrize("mode", ["BALANCE", "SPEED", "ROBUST"])
+    def test_hpipm_mode_presets(self, mode):
+        ocp = make_pendulum_ocp(dtype="float64", nlp_solver_type="SQP")
+        ocp.solver_options.hpipm_mode = mode
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        from acados_tpu.interface.solver import _sqp_opts_from
+        im = _sqp_opts_from(ocp).qp_opts.iter_max
+        assert im == {"BALANCE": 50, "SPEED": 15, "ROBUST": 100}[mode]

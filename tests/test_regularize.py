@@ -61,8 +61,8 @@ class TestMatrixLevel:
 
     def test_unknown_method_raises(self):
         qp = _make_indefinite_qp()
-        with pytest.raises(ValueError, match="CONVEXIFY"):
-            regularize_qp(qp, "CONVEXIFY", 1e-4)
+        with pytest.raises(ValueError, match="PROJECT_REDUC_HESS"):
+            regularize_qp(qp, "PROJECT_REDUC_HESS", 1e-4)
 
 
 def _make_nonconvex_ocp(regularize_method):
@@ -105,7 +105,8 @@ def _make_nonconvex_ocp(regularize_method):
 
 
 class TestNlpLevel:
-    @pytest.mark.parametrize("method", ["MIRROR", "PROJECT", "GLM"])
+    @pytest.mark.parametrize("method", ["MIRROR", "PROJECT", "GLM",
+                                        "CONVEXIFY"])
     def test_indefinite_external_cost_converges(self, method):
         from acados_tpu import AcadosOcpSolver
 
@@ -125,3 +126,40 @@ class TestNlpLevel:
         solver = AcadosOcpSolver(ocp)
         status = solver.solve()
         assert status != 0
+
+
+class TestConvexify:
+    def test_identity_when_reduced_hessian_convex(self):
+        """The structure-preserving property (reference reg_convexify.c:
+        936): stage-wise INDEFINITE Hessians whose backward cost-to-go
+        blocks M_k = H_k + [A B]' P [A B] are PSD pass through CONVEXIFY
+        UNCHANGED, while PROJECT modifies them."""
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+
+        qp = random_ocp_qp(jax.random.PRNGKey(3), N=4, nx=3, nu=2, nc=2)
+        # indefinite stage Q blocks, heavily convex terminal: the
+        # propagated P dominates, so M_k stays PSD
+        Q = qp.Q.at[:-1].add(-1.8 * jnp.eye(3))
+        Q = Q.at[-1].set(60.0 * jnp.eye(3))
+        qp = qp.replace(Q=Q)
+        Hc = regularize_qp(qp, "CONVEXIFY", 1e-8)
+        Hp = regularize_qp(qp, "PROJECT", 1e-8)
+        np.testing.assert_allclose(np.asarray(Hc.Q[:-1]),
+                                   np.asarray(qp.Q[:-1]), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Hc.R), np.asarray(qp.R),
+                                   atol=1e-8)
+        # sanity: the stage blocks really are indefinite (PROJECT acts)
+        assert np.max(np.abs(np.asarray(Hp.Q[:-1])
+                             - np.asarray(qp.Q[:-1]))) > 1e-3
+
+    def test_riccati_feasible_after_convexify(self):
+        """After CONVEXIFY, the QP's Riccati recursion has positive
+        definite Huu at every stage (solvable by the IPM)."""
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+        from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+
+        qp = _make_indefinite_qp()
+        qp_r = regularize_qp(qp, "CONVEXIFY", 1e-6)
+        sol, info = solve_ocp_qp(qp_r, IpmOpts(iter_max=60))
+        assert int(info.status) == 0
+        assert np.all(np.isfinite(np.asarray(sol.x)))

@@ -268,3 +268,41 @@ def test_batch_adjoint_matches_serial():
         g = serial.eval_adjoint_solution_sensitivity(
             None, np.ones((10, 1)), with_respect_to="params_global")
         np.testing.assert_allclose(grad_b[i], g, rtol=1e-8, atol=1e-12)
+
+
+def test_optimal_value_gradient_vs_fd():
+    """dV/dp and dV/dx0 via the envelope theorem (eval_lagr_grad_p,
+    reference ocp_nlp_common.c:4181) vs central finite differences of
+    the re-solved optimal cost."""
+    ocp = make_param_ocp()
+    solver = AcadosOcpSolver(ocp)
+    p0 = np.array([0.1, 0.8])
+    _resolve_xu(solver, p0)
+    gp = solver.eval_and_get_optimal_value_gradient("p_global")
+    gx0 = solver.eval_and_get_optimal_value_gradient("initial_state")
+    base = solver.store_iterate_to_obj()
+
+    def vcost(p, x0=None):
+        solver.load_iterate_from_obj(base)
+        for k in range(ocp.solver_options.N_horizon + 1):
+            solver.set(k, "p", p)
+        if x0 is not None:
+            solver.set(0, "lbx", x0)
+            solver.set(0, "ubx", x0)
+        assert solver.solve() == 0
+        return solver.get_cost()
+
+    eps = 1e-5
+    for i in range(2):
+        e = np.zeros(2)
+        e[i] = eps
+        fd = (vcost(p0 + e) - vcost(p0 - e)) / (2 * eps)
+        assert abs(gp[i] - fd) < 2e-3 * max(1.0, abs(fd)), (i, gp[i], fd)
+
+    x0_base = np.array(ocp.constraints.x0, float)
+    for i in range(2):  # first two states
+        e = np.zeros_like(x0_base)
+        e[i] = eps
+        fd = (vcost(p0, x0_base + e) - vcost(p0, x0_base - e)) / (2 * eps)
+        assert abs(gx0[i] - fd) < 2e-3 * max(1.0, abs(fd)), (i, gx0[i],
+                                                             fd)
