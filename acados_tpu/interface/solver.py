@@ -31,6 +31,16 @@ from acados_tpu.ocp_qp.ipm import IpmOpts
 from acados_tpu.utils.types import ACADOS_INFTY
 
 
+def _fence(tree):
+    """True device fence: pull one scalar to host. On the axon TPU tunnel
+    `jax.block_until_ready` returns before execution completes (verified:
+    an 8k matmul "completed" in 0.05 ms without this), so all wall-clock
+    timing must force a transfer."""
+    leaf = jax.tree.leaves(tree)[0]
+    _ = np.asarray(jnp.ravel(leaf)[0])
+    return tree
+
+
 def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
     so = ocp.solver_options
     qp_tol = so.qp_tol
@@ -302,7 +312,7 @@ class AcadosOcpSolver:
 
         if self._rti_phase == 1:
             t0 = time.perf_counter()
-            self._rti_cache = jax.block_until_ready(_prepare())
+            self._rti_cache = _fence(_prepare())
             self._time_prep = time.perf_counter() - t0
             self._time_tot = self._time_prep
             # AS-RTI levels advance the internal iterate during preparation
@@ -318,7 +328,7 @@ class AcadosOcpSolver:
             self._rti_cache = _prepare()
             self._time_prep = time.perf_counter() - t0
         t0 = time.perf_counter()
-        it, stats = jax.block_until_ready(feedback(
+        it, stats = _fence(feedback(
             self._rti_cache, data_to_jax(self._data, self.dtype),
             self._iterate_jax()))
         self._time_fb = time.perf_counter() - t0
@@ -356,7 +366,7 @@ class AcadosOcpSolver:
         t0 = time.perf_counter()
         it, stats = self._solve_fn(data_to_jax(self._data, self.dtype),
                                    self._iterate_jax())
-        it, stats = jax.block_until_ready((it, stats))
+        it, stats = _fence((it, stats))
         self._time_tot = time.perf_counter() - t0
         self._iterate = {k: np.asarray(getattr(it, k))
                          for k in self._iterate}
@@ -767,9 +777,9 @@ class AcadosOcpSolver:
                                  opts.reg_epsilon)
 
         def timed(f, *args):
-            out = jax.block_until_ready(f(*args))  # compile
+            out = _fence(f(*args))  # compile
             t0 = _time.perf_counter()
-            out = jax.block_until_ready(f(*args))
+            out = _fence(f(*args))
             return _time.perf_counter() - t0, out
 
         t_lin, qp = timed(lin_fn, data, it)

@@ -93,7 +93,7 @@ def riccati_factor(Qb, Rb, Sb, A, B, reg_eps: float = 0.0) -> RiccatiFactor:
     )
     # P_next_seq[k] = P_{k+1}; assemble full P = [P_0, P_1, ..., P_N].
     P_full = jnp.concatenate([P0[None], P_next_seq], axis=0)
-    LP0 = jnp.linalg.cholesky(P0 + eye_x)
+    LP0 = _chol(P0 + eye_x)
     return RiccatiFactor(P=P_full, Luu=Luu, K=K, LP0=LP0)
 
 
@@ -150,7 +150,7 @@ def riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
     )
 
     if dx0 is None:
-        dx0 = -jax.scipy.linalg.cho_solve((fact.LP0, True), p0)
+        dx0 = -_cho_solve(fact.LP0, p0)
 
     def fstep(dx, inp):
         A_k, B_k, b_k, K, kff_k, P_k1, p_k1 = inp
@@ -262,7 +262,7 @@ def parallel_riccati_factor(Qb, Rb, Sb, A, B,
     Hux = Sb + jnp.einsum("kji,kjl->kil", B, PA)
     Luu = _chol(Huu + eye_u)
     K = -_cho_solve(Luu, Hux)
-    LP0 = jnp.linalg.cholesky(P[0] + reg_eps * eye_x)
+    LP0 = _chol(P[0] + reg_eps * eye_x)
     return RiccatiFactor(P=P, Luu=Luu, K=K, LP0=LP0)
 
 
@@ -288,7 +288,7 @@ def parallel_riccati_solve(fact: RiccatiFactor, A, B, qb, rb, b, dx0=None):
     h_u = rb + jnp.einsum("kji,kj->ki", B, Pb + p[1:])
     kff = -_cho_solve(fact.Luu, h_u)
     if dx0 is None:
-        dx0 = -jax.scipy.linalg.cho_solve((fact.LP0, True), p[0])
+        dx0 = -_cho_solve(fact.LP0, p[0])
 
     # forward affine recursion dx_{k+1} = E_k dx_k + (B kff + b)
     v_fwd = jnp.einsum("kij,kj->ki", B, kff) + b
