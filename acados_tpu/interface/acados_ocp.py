@@ -292,8 +292,10 @@ class AcadosOcpOptions:
     adaptive_levenberg_marquardt_lam: float = 5.0
     adaptive_levenberg_marquardt_mu_min: float = 1e-16
     adaptive_levenberg_marquardt_mu0: float = 1e-3
-    # accepted for compatibility (warm starts are explicit in this
-    # framework: RTI caches / solve_ocp_qp(warm=...))
+    # > 0 enables warm-starting each iteration's QP at the NLP duals
+    # (reference warm_start_first_qp_from_nlp); default off — measured
+    # on chip it raises the RTI steady-state residual floor (see
+    # SqpOpts.warm_start_first_qp_from_nlp)
     qp_solver_warm_start: int = 0
     # TPU-specific
     dtype: str = "float32"

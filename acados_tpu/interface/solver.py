@@ -68,6 +68,7 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
     return SqpOpts(
         max_iter=max_iter,
         rti=(so.nlp_solver_type == "SQP_RTI"),
+        warm_start_first_qp_from_nlp=bool(so.qp_solver_warm_start),
         tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
         tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp,
         tol_min_step_norm=so.tol_min_step_norm,

@@ -26,8 +26,13 @@ the QP is already convex, every M_k is PSD and the method is the
 identity — unlike MIRROR/PROJECT, which modify any stage-wise
 indefinite Hessian even when the reduced problem is fine.
 
-Still absent (documented): PROJECT_REDUC_HESS
-(reg_project_reduc_hess.c:574) — raises ValueError with that citation.
+PROJECT_REDUC_HESS (reg_project_reduc_hess.c:332-520) projects only the
+REDUCED Hessian: in the same backward sweep, the uu block of the
+cost-to-go update M_k = H_k + [A B]' P_{k+1} [A B] is eigenvalue-lifted
+(d_j < thr -> min_eig) and the correction lands on the stage R block
+alone; P_k propagates as the Schur complement of the corrected block.
+(The reference's optional pivoted "true Schur" refinement is omitted —
+it is a non-default micro-correction of P.)
 """
 from __future__ import annotations
 
@@ -36,7 +41,7 @@ import jax.numpy as jnp
 from acados_tpu.ocp_qp.data import OcpQp
 
 REG_METHODS = ("NO_REGULARIZE", "MIRROR", "PROJECT", "GLM",
-               "CONVEXIFY")
+               "CONVEXIFY", "PROJECT_REDUC_HESS")
 
 
 def _eig_fix(H, eps: float, mirror: bool):
@@ -72,11 +77,11 @@ def regularize_qp(qp: OcpQp, method: str, eps: float) -> OcpQp:
         return qp
     if method not in REG_METHODS:
         raise ValueError(
-            f"regularize_method {method!r}; supported {REG_METHODS} "
-            "(PROJECT_REDUC_HESS not implemented — reference "
-            "reg_project_reduc_hess.c:574)")
+            f"regularize_method {method!r}; supported {REG_METHODS}")
     if method == "CONVEXIFY":
         return _convexify(qp, eps)
+    if method == "PROJECT_REDUC_HESS":
+        return _project_reduc_hess(qp, eps)
     nx = qp.Q.shape[-1]
     nu = qp.R.shape[-1]
     # assemble (N, nw, nw) coupled blocks; variable order w = [x; u]
@@ -157,4 +162,105 @@ def _convexify(qp: OcpQp, eps: float) -> OcpQp:
         Q=jnp.concatenate([Ht[:, :nx, :nx], PN[None]], axis=0),
         R=Ht[:, nx:, nx:],
         S=Ht[:, nx:, :nx],
+    )
+
+
+def _project_reduc_hess(qp: OcpQp, eps: float) -> OcpQp:
+    """Reduced-Hessian projection (reference reg_project_reduc_hess.c:
+    332-520), batched backward sweep. Per stage k = N-1..1 with
+    M_k = H_k + [A B]' P_{k+1} [A B]:
+
+      - eigenvalue-lift the uu block (d_j < thr -> min_eig); the lift
+        lands on the stage R block;
+      - P_k propagates as the TRUE Schur complement of M_k computed by
+        symmetric elimination with pivot flooring (reference
+        "true_schur", :410-460) — NOT the regularized one, whose
+        near-eps inverse would explode the recursion;
+      - the stage Q block absorbs the (true - regularized) Schur gap so
+        the QP's own Riccati sees consistent curvature (:475-479).
+
+    Stage 0 gets a full-block eigenvalue projection (:491-505). The
+    reference's optional symmetric pivot PERMUTATION inside the
+    elimination is omitted (the pivot floor provides the safeguard);
+    reference defaults thr_eig=1e-12, min_eig=1e-4, min_pivot=1e-12 map
+    to thr=0, min_eig=eps, min_pivot=1e-12 here.
+    """
+    import jax
+
+    nx = qp.Q.shape[-1]
+    nu = qp.R.shape[-1]
+    nw = nx + nu
+    dt = qp.Q.dtype
+    min_pivot = jnp.asarray(1e-12 if dt == jnp.float64 else 1e-6, dt)
+
+    def eig_lift(Hm):
+        Hm = 0.5 * (Hm + jnp.swapaxes(Hm, -1, -2))
+        w, V = jnp.linalg.eigh(Hm)
+        lift = jnp.where(w < eps, eps - w, 0.0)
+        return jnp.einsum("...ij,...j,...kj->...ik", V, lift, V)
+
+    def true_schur(Muu, Mux, Mxx):
+        """Schur complement onto the x block by nu elimination steps of
+        [[Muu, Mux'], [Mux, Mxx]] with pivot flooring (no permutation)."""
+        # [u; x] ordering: Muu (nu,nu), Mux (nu,nx), Mxx (nx,nx)
+        M = jnp.concatenate([
+            jnp.concatenate([Muu, Mux], axis=-1),
+            jnp.concatenate([jnp.swapaxes(Mux, -1, -2), Mxx], axis=-1)],
+            axis=-2)
+        idx = jnp.arange(nw)
+        for j in range(nu):
+            piv = M[j, j]
+            piv = jnp.where(jnp.abs(piv) < min_pivot,
+                            jnp.where(piv < 0, -min_pivot, min_pivot),
+                            piv)
+            colj = M[:, j]
+            rowj = M[j, :]
+            m = (idx > j).astype(dt)
+            M = M - (m[:, None] * m[None, :]) * (
+                colj[:, None] * rowj[None, :]) / piv
+        return M[nu:, nu:]
+
+    def step(P, inp):
+        Q_k, R_k, S_k, A_k, B_k = inp
+        AB = jnp.concatenate([A_k, B_k], axis=-1)
+        W = AB.T @ P @ AB
+        Mxx = Q_k + W[:nx, :nx]
+        Muu = R_k + W[nx:, nx:]
+        Muu = 0.5 * (Muu + Muu.T)
+        Mux = S_k + W[nx:, :nx]
+        dR = eig_lift(Muu)
+        do_reg = jnp.max(jnp.abs(dR)) > 0.0
+        Muu_r = Muu + dR
+        L = jnp.linalg.cholesky(Muu_r
+                                + eps * jnp.eye(nu, dtype=dt))
+        schur_reg = Mxx - Mux.T @ jax.scipy.linalg.cho_solve((L, True),
+                                                             Mux)
+        schur_true = true_schur(Muu, Mux, Mxx)
+        P_new = jnp.where(do_reg, schur_true, schur_reg)
+        P_new = 0.5 * (P_new + P_new.T)
+        Q_corr = jnp.where(do_reg, schur_true - schur_reg,
+                           jnp.zeros_like(Mxx))
+        return P_new, (R_k + dR, Q_k + Q_corr)
+
+    # stages N-1 .. 1 (stage 0 handled by the full-block projection)
+    P1, (R_new_tail, Q_new_tail) = jax.lax.scan(
+        step, qp.Q[-1],
+        (qp.Q[1:-1], qp.R[1:], qp.S[1:], qp.A[1:], qp.B[1:]),
+        reverse=True)
+
+    AB0 = jnp.concatenate([qp.A[0], qp.B[0]], axis=-1)
+    W0 = AB0.T @ P1 @ AB0
+    H0 = jnp.concatenate([
+        jnp.concatenate([qp.Q[0], jnp.swapaxes(qp.S[0], -1, -2)],
+                        axis=-1),
+        jnp.concatenate([qp.S[0], qp.R[0]], axis=-1)], axis=-2)
+    dH0 = eig_lift(H0 + W0)
+    Q0 = qp.Q[0] + dH0[:nx, :nx]
+    S0 = qp.S[0] + dH0[nx:, :nx]
+    R0 = qp.R[0] + dH0[nx:, nx:]
+
+    return qp.replace(
+        Q=jnp.concatenate([Q0[None], Q_new_tail, qp.Q[-1][None]]),
+        R=jnp.concatenate([R0[None], R_new_tail]),
+        S=jnp.concatenate([S0[None], qp.S[1:]]),
     )

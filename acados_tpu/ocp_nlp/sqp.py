@@ -145,6 +145,14 @@ class SqpOpts:
     # QP scaling (reference ocp_nlp_qpscaling.c; modes mirror
     # qpscaling_scale_objective_type): NO_SCALING | OBJECTIVE_GERSHGORIN
     qpscaling: str = static_field(default="NO_SCALING")
+    # warm-start each iteration's QP at the current NLP multipliers
+    # with zero primal deltas (reference warm_start_first_qp_from_nlp,
+    # ocp_nlp_common.h:350). Default OFF and not auto-enabled for RTI:
+    # measured on chip it RAISES the steady-state residual floor
+    # (pendulum 2e-3 -> 1.2e-2) and destabilizes the chain model — the
+    # Mehrotra cold start (mu0-scaled) recenters better than NLP duals
+    # pinned at the t0_min floor on the equality rows.
+    warm_start_first_qp_from_nlp: bool = static_field(default=False)
     # QP backend by registry name (ocp_qp/registry.py; reference
     # qp_solver plan enum — RICCATI_IPM is the HPIPM analog, ADMM the
     # OSQP-class first-order fallback)
@@ -451,7 +459,16 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             # above use only gradients, so they see the true problem.
             qp_solve = regularize_qp(qp, opts.regularize_method,
                                      opts.reg_epsilon)
-            sol, info = solve_qp(qp_solve)
+            if opts.warm_start_first_qp_from_nlp:
+                from acados_tpu.ocp_qp.data import OcpQpSol
+                warm0 = OcpQpSol(
+                    x=jnp.zeros_like(qp.q), u=jnp.zeros_like(qp.r),
+                    pi=it.pi, lam_lg=it.lam_l, lam_ug=it.lam_u,
+                    t_lg=jnp.ones_like(it.lam_l),
+                    t_ug=jnp.ones_like(it.lam_u), sl=it.sl, su=it.su)
+                sol, info = solve_qp(qp_solve, warm=warm0)
+            else:
+                sol, info = solve_qp(qp_solve)
             qp_ok = info.status <= 0
             # QP hit its iteration limit but may still be usable; only a
             # NaN QP is fatal (reference: QP failure propagation,

@@ -45,12 +45,21 @@ from acados_tpu.utils.struct import pytree_dataclass, static_field
 class AdmmOpts:
     """ADMM options (names follow OSQP where they transfer)."""
 
-    iter_max: int = static_field(default=200)
-    rho: float = 1e1
+    iter_max: int = static_field(default=1000)
+    rho: float = 1e-1
     sigma: float = 1e-6        # primal regularization
     alpha_relax: float = 1.6   # over-relaxation
     tol_prim: float = 1e-6
     tol_dual: float = 1e-6
+    # OSQP-style adaptive rho: every `rho_update_interval` iterations
+    # rho is rescaled by sqrt(r_prim / r_dual) (clipped) and the Riccati
+    # factorization is redone — keeps the fixed-penalty splitting
+    # scale-free (reference ocp_qp_osqp.c wraps OSQP, which does the
+    # same adaptation)
+    adaptive_rho: bool = static_field(default=True)
+    rho_update_interval: int = static_field(default=50)
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
     matmul_precision: str = static_field(default="highest")
 
 
@@ -80,16 +89,19 @@ def _solve(qp: OcpQp, opts: AdmmOpts):
                                                  < 1e-12)
     rho = jnp.asarray(opts.rho, dt) * jnp.where(is_eq, 1e3, 1.0)
 
-    # fixed factorization: H + sigma I + rho G'G
-    W = rho * mask
-    WC = W[:, :, None] * qp.C
     eye_x = jnp.eye(qp.Q.shape[-1], dtype=dt) * opts.sigma
     eye_u = jnp.eye(qp.R.shape[-1], dtype=dt) * opts.sigma
-    Qb = qp.Q + eye_x + jnp.einsum("kij,kil->kjl", qp.C, WC)
-    Rb = qp.R + eye_u + jnp.einsum(
-        "kij,kil->kjl", qp.D, W[:-1, :, None] * qp.D)
-    Sb = qp.S + jnp.einsum("kij,kil->kjl", qp.D, WC[:-1])
-    fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=0.0)
+
+    def factorize(rho_s):
+        W = rho_s * rho * mask
+        WC = W[:, :, None] * qp.C
+        Qb = qp.Q + eye_x + jnp.einsum("kij,kil->kjl", qp.C, WC)
+        Rb = qp.R + eye_u + jnp.einsum(
+            "kij,kil->kjl", qp.D, W[:-1, :, None] * qp.D)
+        Sb = qp.S + jnp.einsum("kij,kil->kjl", qp.D, WC[:-1])
+        return riccati_factor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=0.0)
+
+    fact = factorize(jnp.ones((), dt))
 
     def row_op_T(v):
         """G' v by stage."""
@@ -99,49 +111,60 @@ def _solve(qp: OcpQp, opts: AdmmOpts):
 
     soft = qp.soft_mask * mask
 
-    def z_prox(v):
-        """z-update. Hard rows: clip. Soft rows: exact prox of the
-        L1+L2 slack penalty phi(z) = zl*(l-z)_+ + Zl/2 (l-z)_+^2 +
-        zu*(z-u)_+ + Zu/2 (z-u)_+^2 — closed form per branch:
-        argmin_z rho/2 (z-v)^2 + phi(z)."""
-        z_hard = jnp.clip(v, lo, hi)
-        z_low = (rho * v + qp.zl + qp.Zl * lo) / (rho + qp.Zl)
-        z_up = (rho * v - qp.zu + qp.Zu * hi) / (rho + qp.Zu)
-        z_soft = jnp.where(v < lo - qp.zl / rho, z_low,
-                           jnp.where(v > hi + qp.zu / rho, z_up,
-                                     z_hard))
-        return jnp.where(soft > 0, z_soft, z_hard)
-
     z0 = jnp.clip(jnp.zeros_like(qp.lg), lo, hi) * mask
     y0 = jnp.zeros_like(qp.lg)
     w0 = (jnp.zeros_like(qp.q), jnp.zeros_like(qp.r),
           jnp.zeros_like(qp.b))
 
     def cond(carry):
-        _, _, _, r_prim, r_dual, k = carry
+        r_prim, r_dual, k = carry[3], carry[4], carry[5]
         done = (r_prim < opts.tol_prim) & (r_dual < opts.tol_dual)
         return jnp.logical_and(k < opts.iter_max, jnp.logical_not(done))
 
+    def z_prox_s(v, rho_v):
+        z_hard = jnp.clip(v, lo, hi)
+        z_low = (rho_v * v + qp.zl + qp.Zl * lo) / (rho_v + qp.Zl)
+        z_up = (rho_v * v - qp.zu + qp.Zu * hi) / (rho_v + qp.Zu)
+        z_soft = jnp.where(v < lo - qp.zl / rho_v, z_low,
+                           jnp.where(v > hi + qp.zu / rho_v, z_up,
+                                     z_hard))
+        return jnp.where(soft > 0, z_soft, z_hard)
+
     def body(carry):
-        z, y, w, _, _, k = carry
-        # w-update: rhs gradient g + rho G'(y - z)
-        cv, dv = row_op_T(rho * mask * (y - z))
-        dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qp.q + cv,
+        z, y, w, _, _, k, rho_s, fct = carry
+        rho_v = rho * rho_s
+        cv, dv = row_op_T(rho_v * mask * (y - z))
+        dx, du, dpi = riccati_solve(fct, qp.A, qp.B, qp.q + cv,
                                     qp.r + dv, qp.b)
         t = _stage_g(qp, dx, du) * mask
         t_rel = opts.alpha_relax * t + (1 - opts.alpha_relax) * z
-        z_new = z_prox(t_rel + y) * mask
+        z_new = z_prox_s(t_rel + y, rho_v) * mask
         y_new = (y + t_rel - z_new) * mask
         r_prim = jnp.max(jnp.abs((t - z_new) * mask))
-        r_dual = jnp.max(rho * jnp.abs(z_new - z))
-        return (z_new, y_new, (dx, du, dpi), r_prim, r_dual, k + 1)
+        r_dual = jnp.max(rho_v * jnp.abs(z_new - z))
+        if opts.adaptive_rho:
+            ratio = jnp.sqrt(r_prim / jnp.maximum(r_dual, 1e-30))
+            scale = jnp.clip(ratio, 0.2, 5.0)
+            due = ((k + 1) % opts.rho_update_interval == 0) \
+                & ((scale > 2.0) | (scale < 0.5))
+            rho_s_new = jnp.where(
+                due, jnp.clip(rho_s * scale, opts.rho_min / opts.rho,
+                              opts.rho_max / opts.rho), rho_s)
+            # scaled dual y = lam / rho: rescale to keep lam continuous
+            y_new = jnp.where(due, y_new * rho_s / rho_s_new, y_new)
+            fct = jax.lax.cond(due, factorize, lambda _s: fct, rho_s_new)
+            rho_s = rho_s_new
+        return (z_new, y_new, (dx, du, dpi), r_prim, r_dual, k + 1,
+                rho_s, fct)
 
-    (z, y, (dx, du, dpi), r_prim, r_dual, k) = jax.lax.while_loop(
-        cond, body,
-        (z0, y0, w0, jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
-         jnp.asarray(0, jnp.int32)))
+    (z, y, (dx, du, dpi), r_prim, r_dual, k, rho_s, _f) = \
+        jax.lax.while_loop(
+            cond, body,
+            (z0, y0, w0, jnp.asarray(jnp.inf, dt),
+             jnp.asarray(jnp.inf, dt), jnp.asarray(0, jnp.int32),
+             jnp.ones((), dt), fact))
 
-    lam = rho * y  # scaled dual -> row multipliers
+    lam = rho * rho_s * y  # scaled dual -> row multipliers
     lam_l = jnp.maximum(-lam, 0.0) * qp.mask_l
     lam_u = jnp.maximum(lam, 0.0) * qp.mask_u
     t_val = _stage_g(qp, dx, du)

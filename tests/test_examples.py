@@ -16,6 +16,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
     "mocp_transition_example.py",
     "differentiable_mpc.py",
     "batched_scenario_mpc.py",
+    "dae_constrained_ocp.py",
 ])
 def test_example_runs(script):
     subprocess.run([sys.executable, script], cwd=EXAMPLES, check=True,

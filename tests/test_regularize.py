@@ -61,8 +61,8 @@ class TestMatrixLevel:
 
     def test_unknown_method_raises(self):
         qp = _make_indefinite_qp()
-        with pytest.raises(ValueError, match="PROJECT_REDUC_HESS"):
-            regularize_qp(qp, "PROJECT_REDUC_HESS", 1e-4)
+        with pytest.raises(ValueError, match="regularize_method"):
+            regularize_qp(qp, "NOT_A_METHOD", 1e-4)
 
 
 def _make_nonconvex_ocp(regularize_method):
@@ -163,3 +163,80 @@ class TestConvexify:
         sol, info = solve_ocp_qp(qp_r, IpmOpts(iter_max=60))
         assert int(info.status) == 0
         assert np.all(np.isfinite(np.asarray(sol.x)))
+
+
+class TestProjectReducHess:
+    def test_only_R_modified_and_solvable(self):
+        """PROJECT_REDUC_HESS touches only the R blocks (reference
+        reg_project_reduc_hess.c applies the eigenvalue lift to RSQ's uu
+        part alone) and the result solves. Scope note (shared with the
+        reference): only the REDUCED (control) curvature is certified —
+        terminal/state blocks pass through, so the test flips R only."""
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+        from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+
+        qp = random_ocp_qp(jax.random.PRNGKey(0), N=6, nx=3, nu=2, nc=2)
+        qp = qp.replace(R=-qp.R)    # indefinite control curvature
+        qr = regularize_qp(qp, "PROJECT_REDUC_HESS", 1e-4)
+        # interior S blocks untouched; R blocks lifted; Q carries only
+        # the true-vs-regularized Schur gap (reference :475-479)
+        np.testing.assert_array_equal(np.asarray(qr.S[1:]),
+                                      np.asarray(qp.S[1:]))
+        assert np.max(np.abs(np.asarray(qr.R) - np.asarray(qp.R))) > 1e-6
+        assert np.all(np.isfinite(np.asarray(qr.R)))
+        assert np.all(np.isfinite(np.asarray(qr.Q)))
+        sol, info = solve_ocp_qp(qr, IpmOpts(iter_max=60))
+        assert int(info.status) == 0
+        assert np.all(np.isfinite(np.asarray(sol.x)))
+
+    def test_identity_when_reduced_convex(self):
+        """When the reduced uu blocks are already PD the method is the
+        identity (same structure-preservation selling point)."""
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+
+        qp = random_ocp_qp(jax.random.PRNGKey(4), N=4, nx=3, nu=2, nc=2)
+        Q = qp.Q.at[:-1].add(-1.5 * jnp.eye(3))   # indefinite Q blocks
+        Q = Q.at[-1].set(50.0 * jnp.eye(3))
+        qp2 = qp.replace(Q=Q)
+        qr = regularize_qp(qp2, "PROJECT_REDUC_HESS", 1e-8)
+        np.testing.assert_allclose(np.asarray(qr.R), np.asarray(qp2.R),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(qr.Q[1:-1]),
+                                   np.asarray(qp2.Q[1:-1]), atol=1e-7)
+
+    def test_nlp_level_converges(self):
+        """u-nonconvex EXTERNAL cost (the regime PRH certifies: negative
+        control curvature away from the optimum) converges with
+        PROJECT_REDUC_HESS; without regularization it fails."""
+        import jax.numpy as jnp
+
+        from acados_tpu import AcadosOcpSolver
+        from acados_tpu.interface.acados_ocp import AcadosModel, AcadosOcp
+
+        def build(method):
+            ocp = AcadosOcp()
+            m = AcadosModel()
+            m.name = "uncvx_u"
+            m.x, m.u = 2, 1
+            m.f_expl_expr = lambda x, u: jnp.concatenate([x[1:2], u])
+            m.cost_expr_ext_cost = lambda x, u: (
+                x @ x + 4.0 * (1.0 - jnp.cos(2.0 * u[0])) + 0.05 * u[0] ** 2)
+            m.cost_expr_ext_cost_e = lambda x: 5.0 * (x @ x)
+            ocp.model = m
+            ocp.cost.cost_type = "EXTERNAL"
+            ocp.cost.cost_type_e = "EXTERNAL"
+            so = ocp.solver_options
+            so.N_horizon = 15
+            so.tf = 1.5
+            so.hessian_approx = "EXACT"
+            so.nlp_solver_type = "SQP"
+            so.nlp_solver_max_iter = 200
+            so.globalization = "MERIT_BACKTRACKING"
+            so.regularize_method = method
+            so.dtype = "float64"
+            ocp.constraints.x0 = np.array([1.5, 0.0])
+            return ocp
+
+        s = AcadosOcpSolver(build("PROJECT_REDUC_HESS"))
+        assert s.solve() == 0, s.get_residuals()
+        assert s.get_residuals()[0] < 1e-6
