@@ -122,7 +122,10 @@ class AcadosOcpBatchSolver:
             data = shard_batch(data, self.mesh)
             init = shard_batch(init, self.mesh)
         t0 = time.perf_counter()
-        it, stats = jax.block_until_ready(self._solve_fn(data, init))
+        it, stats = self._solve_fn(data, init)
+        # true fence: a host transfer (block_until_ready returns before
+        # execution completes on the axon TPU tunnel)
+        _ = np.asarray(jnp.ravel(stats.status)[0])
         self._time_tot = time.perf_counter() - t0
         self._iterate = {k: np.asarray(getattr(it, k))
                          for k in self._iterate}

@@ -59,7 +59,18 @@ def _register_builtins():
 
     def admm_backend(qp, opts=None, warm=None):
         del warm  # ADMM restarts cheaply; warm start not wired yet
-        admm_opts = opts if isinstance(opts, AdmmOpts) else None
+        if isinstance(opts, AdmmOpts):
+            admm_opts = opts
+        elif opts is not None:
+            # translate IPM-style tolerances, floored at first-order /
+            # f32-reachable accuracy (ADMM is the moderate-accuracy
+            # backend; pass AdmmOpts explicitly for tighter control)
+            admm_opts = AdmmOpts(
+                iter_max=500,
+                tol_prim=max(float(opts.tol_ineq), 2e-5),
+                tol_dual=max(float(opts.tol_stat), 2e-5))
+        else:
+            admm_opts = None
         return solve_ocp_qp_admm(qp, admm_opts)
 
     register_qp_backend("RICCATI_IPM", ipm_backend)
