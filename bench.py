@@ -150,8 +150,13 @@ def _residual_fields(stats, tols):
 
 def _phase_split(form, opts, data, it, jdtype):
     """Measured linearize / QP-solve split on the steady-state iterate
-    (separately jitted programs over the same batch; reference
-    time_lin / time_qp_sol, ocp_nlp_common.h:414-421)."""
+    (reference time_lin / time_qp_sol, ocp_nlp_common.h:414-421).
+
+    The QP time is measured by DIFFERENCING two fused programs
+    (linearize vs linearize+QP): feeding the materialized QP pytree into
+    a standalone QP program forces default input layouts for the tiny
+    trailing (nx, nu) dims and measures ~8x slower than the production
+    fused path — the difference method attributes in-production cost."""
     import jax
     import jax.numpy as jnp
 
@@ -163,11 +168,16 @@ def _phase_split(form, opts, data, it, jdtype):
 
     lin = jax.jit(jax.vmap(
         lambda d, i: linearize(form, static_rows, d, i, lm)))
-    dt_lin, qp = _time(lin, data, it, reps=5)
-    qp_solve = jax.jit(jax.vmap(lambda q: solve_ocp_qp(q, opts.qp_opts)))
-    dt_qp, (_sol, info) = _time(qp_solve, qp, reps=5)
+    dt_lin, _qp = _time(lin, data, it, reps=5)
+
+    def lin_qp(d, i):
+        qp = linearize(form, static_rows, d, i, lm)
+        return solve_ocp_qp(qp, opts.qp_opts)
+
+    both = jax.jit(jax.vmap(lin_qp))
+    dt_both, (_sol, info) = _time(both, data, it, reps=5)
     return dict(time_lin_ms=round(dt_lin * 1e3, 2),
-                time_qp_ms=round(dt_qp * 1e3, 2),
+                time_qp_ms=round(max(dt_both - dt_lin, 0.0) * 1e3, 2),
                 qp_iter_mean=float(np.mean(np.asarray(info.num_iter))))
 
 
