@@ -714,12 +714,11 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         else:
             body = _iteration
 
-        nres = 5 if opts.with_adaptive_levenberg_marquardt else 4
+        # residual-state carry: (rs, re, ri, rc) + the adaptive-LM value
         zero4 = tuple(jnp.zeros((), dtype) for _ in range(4))
         if opts.with_adaptive_levenberg_marquardt:
             zero4 = zero4 + (jnp.asarray(
                 opts.adaptive_levenberg_marquardt_mu0, dtype),)
-        del nres
         if timeout_on:
             t0_ = _clock()
             tstate0 = (t0_, t0_, jnp.zeros((), tdtype))
