@@ -146,6 +146,11 @@ class AcadosOcpConstraints:
     idxbx_0: Optional[np.ndarray] = None
     lbx_0: Optional[np.ndarray] = None
     ubx_0: Optional[np.ndarray] = None
+    # indices of stage-0 bounds that are equalities (lbx_0 == ubx_0);
+    # setting x0 implies idxbxe_0 = arange(nx), like the reference
+    # (acados_ocp_constraints.py idxbxe_0) — tags the rows HPIPM's
+    # reduce_eq_dof eliminates from the QP
+    idxbxe_0: Optional[np.ndarray] = None
     # path state/input bounds
     idxbx: Optional[np.ndarray] = None
     lbx: Optional[np.ndarray] = None
@@ -217,6 +222,12 @@ class AcadosOcpOptions:
     # BALANCE | SPEED | SPEED_ABS | ROBUST -> IpmOpts iter_max/tau
     hpipm_mode: str = "BALANCE"
     hessian_approx: str = "GAUSS_NEWTON"
+    # EXACT-mode term switches (reference acados_ocp_options.py:96-98):
+    # with hessian_approx="EXACT", each Lagrangian term's second-order
+    # contribution can be disabled individually
+    exact_hess_cost: int = 1
+    exact_hess_dyn: int = 1
+    exact_hess_constr: int = 1
     integrator_type: str = "ERK"
     # EULER (default): stage cost * dt. INTEGRATOR: the Lagrange cost is
     # integrated along the RK stages of the dynamics integrator
@@ -232,8 +243,24 @@ class AcadosOcpOptions:
     nlp_solver_tol_comp: float = 1e-6
     tol_min_step_norm: float = 1e-12
     qp_solver_iter_max: int = 50
-    qp_solver_mu0: float = 1e2
+    # 0.0 = use the hpipm_mode preset's barrier start (reference
+    # semantics: qp_solver_mu0 default 0.0, acados_ocp_options.py:83)
+    qp_solver_mu0: float = 0.0
     qp_tol: Optional[float] = None
+    # QP-tolerance strategy inside the NLP loop (reference
+    # acados_ocp_options.py:118-124, ocp_nlp_common.c:4460).
+    # ADAPTIVE_CURRENT_RES_JOINT ties QP tolerances to the current NLP
+    # residuals (inexact-SQP forcing term — good for cold SQP solves);
+    # the default matches the reference (FIXED_QP_TOL). Note adaptive is
+    # self-referential at an RTI steady state (the QP tolerance tracks
+    # the stalled residual), so RTI should keep FIXED_QP_TOL.
+    nlp_qp_tol_strategy: str = "FIXED_QP_TOL"
+    nlp_qp_tol_reduction_factor: float = 1e-1
+    nlp_qp_tol_safety_factor: float = 0.1
+    nlp_qp_tol_min_stat: float = 1e-9
+    nlp_qp_tol_min_eq: float = 1e-10
+    nlp_qp_tol_min_ineq: float = 1e-10
+    nlp_qp_tol_min_comp: float = 1e-11
     levenberg_marquardt: float = 0.0
     regularize_method: str = "NO_REGULARIZE"
     reg_epsilon: float = 1e-4

@@ -591,13 +591,25 @@ def build_ocp(ocp: AcadosOcp):
         _sj = step_jac_fn
         step_jac_fn = lambda x, u, p, t, dt: _sj(x, u, p, t, dt)[:3]
 
+    # stage-0 full-state equality detection (reference idxbxe_0; x0 sugar
+    # implies it) — the static license for QP initial-state elimination
+    idxbxe_0 = _idx(con.idxbxe_0)
+    if con.x0 is not None and not idxbxe_0:
+        idxbxe_0 = tuple(range(nx))
+    x0_equality = (con_0.idxbx == tuple(range(nx))
+                   and idxbxe_0 == tuple(range(nx)))
+
     form = OcpNlpFormulation(
         N=N, nx=nx, nu=nu, np_=np_dim, step_fn=step_fn,
         step_jac_fn=step_jac_fn,
         nz=nz if any_z else 0, z_fun=z_fun,
         cost_0=cost_0, cost=cost_p, cost_e=cost_e,
         con_0=con_0, con=con_p, con_e=con_e,
-        exact_hessian=(so.hessian_approx == "EXACT"))
+        exact_hessian=(so.hessian_approx == "EXACT"),
+        exact_hess_cost=bool(so.exact_hess_cost),
+        exact_hess_dyn=bool(so.exact_hess_dyn),
+        exact_hess_constr=bool(so.exact_hess_constr),
+        x0_equality=x0_equality)
     nc = form.nc
 
     lay_0, lay_p, lay_e = (StageLayout(con_0), StageLayout(con_p),

@@ -50,16 +50,20 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         qp_tol = min(so.nlp_solver_tol_stat * 1e-1, 1e-6) \
             if so.dtype == "float64" else max(
                 so.nlp_solver_tol_stat * 1e-1, 1e-6)
-    # hpipm_mode presets (reference acados_ocp_options.py:133):
-    # SPEED caps the IPM iterations aggressively, ROBUST raises the cap
-    # and backs off the fraction-to-boundary; BALANCE = defaults.
-    mode = {"BALANCE": dict(), "SPEED": dict(iter_max=15),
-            "SPEED_ABS": dict(iter_max=15),
-            "ROBUST": dict(iter_max=100, tau=0.99)}[so.hpipm_mode]
+    # hpipm_mode presets (reference acados_ocp_options.py:133, HPIPM
+    # d_ocp_qp_ipm_arg_set_default dispatch, ocp_qp_hpipm.c:147-160):
+    # SPEED caps the IPM iterations aggressively, ROBUST raises the cap,
+    # backs off the fraction-to-boundary and starts the barrier high;
+    # BALANCE = defaults. mu0 presets follow HPIPM's mode defaults
+    # (low start for the warm-dominated modes, high for ROBUST).
+    mode = {"BALANCE": dict(mu0=1e1), "SPEED": dict(iter_max=15, mu0=1e1),
+            "SPEED_ABS": dict(iter_max=15, mu0=1e4),
+            "ROBUST": dict(iter_max=100, tau=0.99, mu0=1e2)}[so.hpipm_mode]
     iter_max = mode.get("iter_max", so.qp_solver_iter_max)
     if so.qp_solver_iter_max != 50:   # user override beats the preset
         iter_max = so.qp_solver_iter_max
-    qp_opts = IpmOpts(iter_max=iter_max, mu0=so.qp_solver_mu0,
+    mu0 = so.qp_solver_mu0 if so.qp_solver_mu0 > 0 else mode["mu0"]
+    qp_opts = IpmOpts(iter_max=iter_max, mu0=mu0,
                       tau=mode.get("tau", 0.995),
                       tol_stat=qp_tol, tol_eq=qp_tol, tol_ineq=qp_tol,
                       tol_comp=qp_tol)
@@ -114,6 +118,9 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         anderson_activation_threshold=so.anderson_activation_threshold,
         store_iterates=so.store_iterates,
         qpscaling=so.qpscaling_scale_objective,
+        nlp_qp_tol_strategy=so.nlp_qp_tol_strategy,
+        nlp_qp_tol_reduction_factor=so.nlp_qp_tol_reduction_factor,
+        nlp_qp_tol_safety_factor=so.nlp_qp_tol_safety_factor,
         qp_opts=qp_opts)
 
 

@@ -362,6 +362,16 @@ class OcpNlpFormulation:
     con: ConstraintSpec = None
     con_e: ConstraintSpec = None
     exact_hessian: bool = False  # GAUSS_NEWTON (default) vs EXACT
+    # which Lagrangian terms contribute second-order information in EXACT
+    # mode (reference exact_hess_cost/dyn/constr,
+    # acados_ocp_options.py:96-98; all default on)
+    exact_hess_cost: bool = True
+    exact_hess_dyn: bool = True
+    exact_hess_constr: bool = True
+    # stage-0 box rows are a full-state equality (constraints.x0 /
+    # idxbxe_0 == range(nx)): enables initial-state elimination in the
+    # QP (reference: HPIPM d_ocp_qp_reduce_eq_dof via idxbxe tagging)
+    x0_equality: bool = False
 
     @property
     def nc(self) -> int:

@@ -140,9 +140,11 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
                                + Jzk[:, nx:] @ (u_ - uk))
 
     # ---- cost quadratics per stage class ---------------------------------
+    exact_cost = form.exact_hessian and form.exact_hess_cost
+
     def cost_one(spec, cdata, xk, uk, pk, tk, scale, zlin=None, dtk=None):
         H, g = spec.quad_approx(xk, uk, pk, tk, cdata,
-                                form.exact_hessian, zlin=zlin, dt_=dtk)
+                                exact_cost, zlin=zlin, dt_=dtk)
         return scale * H, scale * g
 
     zl0 = mk_zlin(z0s[0], Jzs[0], x[0], u[0]) if use_z else None
@@ -192,6 +194,62 @@ def linearize(form: OcpNlpFormulation, static_rows, data: NlpData,
         He = He + bgp_term(form.con_e, x[N], jnp.zeros((nu,), dt),
                            data.p[N], data.ts[N], it.lam_l[N],
                            it.lam_u[N])
+
+    # ---- EXACT mode: dynamics + constraint curvature ---------------------
+    # The reference's exact Hessian adds the pi-weighted dynamics Hessian
+    # (IMPL_ODE_HESS -> S_hess packed by ocp_nlp_dynamics_cont.c; toggle
+    # exact_hess_dyn) and the lam-weighted constraint Hessian
+    # (ocp_nlp_constraints_bgh exact-Hessian path; toggle
+    # exact_hess_constr) so the SQP takes true Newton steps. BGP phi rows
+    # are excluded: their curvature enters through the SCQP outer term
+    # above in both modes, like the reference BGP module.
+    if form.exact_hessian and form.exact_hess_dyn:
+        def dyn_hess_one(xk, uk, pk, tk, dtk, pik):
+            w = jnp.concatenate([xk, uk])
+            f = lambda w_: pik @ form.step_fn(w_[:nx], w_[nx:], pk, tk,
+                                              dtk)
+            return jax.hessian(f)(w)
+
+        Hd = jax.vmap(dyn_hess_one)(x[:-1], u, data.p[:-1], data.ts[:-1],
+                                    data.dts, it.pi)
+        H0 = H0 + Hd[0]
+        Hp = Hp + Hd[1:]
+
+    if form.exact_hessian and form.exact_hess_constr:
+        lam_d_all = it.lam_l - it.lam_u
+
+        def con_hess_one(spec, xk, uk, pk, tk, lam_d_k, zlin=None):
+            off = spec.nbx + spec.nbu + spec.ng
+            wh = lam_d_k[off:off + spec.nh]
+            w = jnp.concatenate([xk, uk])
+
+            def f(w_):
+                return -jnp.dot(wh, spec._call_h(w_[:nx], w_[nx:], pk,
+                                                 tk, zlin))
+
+            return jax.hessian(f)(w)
+
+        if form.con_0.nh:
+            H0 = H0 + con_hess_one(form.con_0, x[0], u[0], data.p[0],
+                                   data.ts[0], lam_d_all[0], zlin=zl0)
+        if form.con.nh:
+            if use_z:
+                Hc = jax.vmap(
+                    lambda xk, uk, pk, tk, ld, z0k, Jzk: con_hess_one(
+                        form.con, xk, uk, pk, tk, ld,
+                        zlin=mk_zlin(z0k, Jzk, xk, uk)))(
+                    x[1:N], u[1:N], data.p[1:N], data.ts[1:N],
+                    lam_d_all[1:N], z0s[1:N], Jzs[1:N])
+            else:
+                Hc = jax.vmap(lambda xk, uk, pk, tk, ld: con_hess_one(
+                    form.con, xk, uk, pk, tk, ld))(
+                    x[1:N], u[1:N], data.p[1:N], data.ts[1:N],
+                    lam_d_all[1:N])
+            Hp = Hp + Hc
+        if form.con_e.nh:
+            He = He + con_hess_one(form.con_e, x[N],
+                                   jnp.zeros((nu,), dt), data.p[N],
+                                   data.ts[N], lam_d_all[N])
 
     H_path = jnp.concatenate([H0[None], Hp], axis=0) + lm * eyeW
     g_path = jnp.concatenate([g0[None], gp], axis=0)

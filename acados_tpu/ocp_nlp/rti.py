@@ -52,7 +52,8 @@ from acados_tpu.ocp_nlp.linearize import (NlpIterate, build_static_rows,
                                           eval_constraints, eval_cost,
                                           eval_dyn_gap, linearize)
 from acados_tpu.ocp_nlp.regularize import regularize_qp
-from acados_tpu.ocp_nlp.sqp import SqpOpts, SqpStats, _nlp_residuals
+from acados_tpu.ocp_nlp.sqp import (SqpOpts, SqpStats, _nlp_residuals,
+                                    adaptive_qp_tol, use_x0_elimination)
 from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
 from acados_tpu.ocp_qp.ipm import solve_ocp_qp
 from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
@@ -83,6 +84,7 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
     """
     nbx0 = form.con_0.nbx
     idxbx0 = jnp.asarray(form.con_0.idxbx, jnp.int32) if nbx0 else None
+    _x0f = use_x0_elimination(form, opts)
 
     def _advance_data(data: NlpData, it: NlpIterate) -> NlpData:
         """Set the stage-0 state bounds to the predicted next x0
@@ -165,6 +167,14 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
             r = r + cr
         return qp0.replace(b=b, lg=lg, ug=ug, q=q, r=r)
 
+    def _qp_opts_at(qp: OcpQp, it: NlpIterate, static_rows):
+        """Per-call QP tolerances (nlp_qp_tol_strategy; sqp.adaptive_qp_tol)."""
+        if opts.nlp_qp_tol_strategy != "ADAPTIVE_CURRENT_RES_JOINT":
+            return opts.qp_opts
+        soft_scaled = static_rows["soft"] * static_rows["mask"]
+        rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
+        return adaptive_qp_tol(opts, opts.qp_opts, rs, re, ri, rc)
+
     def _standard_prepare(data: NlpData, it: NlpIterate,
                           static_rows) -> RtiCache:
         dtype = it.x.dtype
@@ -180,7 +190,8 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
         # solve the QP at the predicted x0 (the bounds in `data` at
         # preparation time): its solution warm-starts the feedback IPM
         # (the analog of condense_lhs's cached factorization).
-        sol_pred, _ = solve_ocp_qp(qp, opts.qp_opts)
+        sol_pred, _ = solve_ocp_qp(qp, _qp_opts_at(qp, it, static_rows),
+                                   x0_fixed=_x0f)
         return RtiCache(qp=qp, g0=g0, it=it, sol_pred=sol_pred)
 
     def prepare(data: NlpData, it: NlpIterate,
@@ -196,14 +207,16 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
                     it = prev_cache.it
                     qp_a = _inject_x0(prev_cache.qp, prev_cache.g0, data)
                     sol, _ = solve_ocp_qp(qp_a, opts.qp_opts,
-                                          warm=prev_cache.sol_pred)
+                                          warm=prev_cache.sol_pred,
+                                          x0_fixed=_x0f)
                     it = _full_step(it, sol)
                 elif level in ("B", "C"):
                     for _ in range(opts.as_rti_iter):
                         qp_i = _refresh_vectors(prev_cache.qp,
                                                 prev_cache.it, data, it,
                                                 static_rows, level)
-                        sol, _ = solve_ocp_qp(qp_i, opts.qp_opts)
+                        sol, _ = solve_ocp_qp(qp_i, opts.qp_opts,
+                                              x0_fixed=_x0f)
                         it = _full_step(it, sol)
                 elif level == "D":
                     lm = jnp.asarray(opts.levenberg_marquardt, it.x.dtype)
@@ -211,7 +224,8 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
                         qp_i = linearize(form, static_rows, data, it, lm)
                         qp_i = regularize_qp(qp_i, opts.regularize_method,
                                              opts.reg_epsilon)
-                        sol, _ = solve_ocp_qp(qp_i, opts.qp_opts)
+                        sol, _ = solve_ocp_qp(qp_i, opts.qp_opts,
+                                              x0_fixed=_x0f)
                         it = _full_step(it, sol)
                 else:
                     raise ValueError(f"unknown as_rti_level {level!r}")
@@ -226,8 +240,13 @@ def make_rti_solver(form: OcpNlpFormulation, opts: SqpOpts):
             qp = _inject_x0(cache.qp, cache.g0, data)
 
             rs, re, ri, rc = _nlp_residuals(form, qp, cache.it, soft_scaled)
-            sol, info = solve_ocp_qp(qp, opts.qp_opts,
-                                     warm=cache.sol_pred)
+            if opts.nlp_qp_tol_strategy == "ADAPTIVE_CURRENT_RES_JOINT":
+                qp_opts_k = adaptive_qp_tol(opts, opts.qp_opts, rs, re,
+                                            ri, rc)
+            else:
+                qp_opts_k = opts.qp_opts
+            sol, info = solve_ocp_qp(qp, qp_opts_k,
+                                     warm=cache.sol_pred, x0_fixed=_x0f)
             qp_fatal = info.status == 1
 
             base = cache.it

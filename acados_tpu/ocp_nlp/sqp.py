@@ -32,6 +32,7 @@ from acados_tpu.ocp_nlp.regularize import regularize_qp
 from acados_tpu.ocp_qp.data import OcpQp
 from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
 from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
+from acados_tpu.ops.smallmm import mTv, mv
 from acados_tpu.utils.struct import pytree_dataclass, static_field
 
 # stats matrix columns (reference ocp_nlp_sqp.c:579-585)
@@ -157,6 +158,22 @@ class SqpOpts:
     # qp_solver plan enum — RICCATI_IPM is the HPIPM analog, ADMM the
     # OSQP-class first-order fallback)
     qp_solver_name: str = static_field(default="RICCATI_IPM")
+    # QP-tolerance strategy per NLP iteration (reference
+    # nlp_qp_tol_strategy, acados_ocp_options.py:663-686,
+    # ocp_nlp_common.c:4460): ADAPTIVE_CURRENT_RES_JOINT ties each QP's
+    # stopping tolerance to the current NLP residuals (inexact-SQP
+    # forcing term) — saves IPM iterations that cannot improve the step;
+    # FIXED_QP_TOL uses qp_opts' tolerances unchanged.
+    nlp_qp_tol_strategy: str = static_field(default="FIXED_QP_TOL")
+    nlp_qp_tol_reduction_factor: float = 1e-1
+    nlp_qp_tol_safety_factor: float = 0.1
+    # eliminate the fixed initial state from each QP (reference: HPIPM
+    # d_ocp_qp_reduce_eq_dof, applied unconditionally by the reference's
+    # condensing front-end, ocp_qp_partial_condensing.c:542). Effective
+    # only when the builder proved the stage-0 layout is a full-state
+    # equality (constraints.x0 / idxbxe_0 == range(nx)); requires
+    # lbx_0 == ubx_0 at runtime (the x0-injection API keeps them equal).
+    eliminate_x0: bool = static_field(default=True)
     qp_opts: IpmOpts = None
 
     def __post_init__(self):
@@ -193,11 +210,10 @@ def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
     Zl, Zu, zl, zu = qp.Zl, qp.Zu, qp.zl, qp.zu  # already cost-scaled
     lam_d = ml * it.lam_l - mu_ * it.lam_u
 
-    rx = qp.q - jnp.einsum("kij,ki->kj", qp.C, lam_d)
-    rx = rx.at[:-1].add(jnp.einsum("kij,ki->kj", qp.A, it.pi))
+    rx = qp.q - mTv(qp.C, lam_d)
+    rx = rx.at[:-1].add(mTv(qp.A, it.pi))
     rx = rx.at[1:].add(-it.pi)
-    ru = (qp.r + jnp.einsum("kij,ki->kj", qp.B, it.pi)
-          - jnp.einsum("kij,ki->kj", qp.D, lam_d[:-1]))
+    ru = qp.r + mTv(qp.B, it.pi) - mTv(qp.D, lam_d[:-1])
 
     # slack stationarity: zl + Zl sl - lam_l - lam_sl = 0 with the implicit
     # slack multiplier lam_sl = max(zl + Zl sl - lam_l, 0) >= 0 eliminated;
@@ -260,14 +276,13 @@ def _merit_gradient(form, qp, sol, it, w_pi, w_lam, lb_all, ub_all,
     # objective part: cost gradient . step
     g_cost = jnp.sum(qp.q * sol.x) + jnp.sum(qp.r * sol.u)
     # dynamics part: w_pi * sign(gap) * d(lin gap)
-    dgap = (jnp.einsum("kij,kj->ki", qp.A, sol.x[:-1])
-            + jnp.einsum("kij,kj->ki", qp.B, sol.u) - sol.x[1:])
+    dgap = mv(qp.A, sol.x[:-1]) + mv(qp.B, sol.u) - sol.x[1:]
     gap = eval_dyn_gap(form, data, it.x, it.u)
     g_dyn = jnp.sum(w_pi * jnp.sign(gap) * dgap)
     # inequality part: active (violated) rows only
     g = eval_constraints(form, data, it.x, it.u)
-    drow = jnp.einsum("kij,kj->ki", qp.C, sol.x)
-    drow = drow.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, sol.u))
+    drow = mv(qp.C, sol.x)
+    drow = drow.at[:-1].add(mv(qp.D, sol.u))
     dsl = sol.sl - it.sl
     dsu = sol.su - it.su
     act_l = (lb_all - g - soft_mask * it.sl) > 0
@@ -366,6 +381,46 @@ def _funnel_search(form, opts, data, soft_mask, lb_all, ub_all, qp, it,
     return alpha, (fw, pen, pmode)
 
 
+def adaptive_qp_tol(opts: SqpOpts, qp_opts: IpmOpts, rs, re, ri, rc):
+    """ADAPTIVE_CURRENT_RES_JOINT QP tolerances from the current NLP
+    residuals (reference ocp_nlp_common.c:4460, spec
+    acados_ocp_options.py:663-686):
+      tmp_tol_* = min(reduction_factor * res_*, 1e-2)
+      joint     = max over tmp_tol_*
+      tol_*     = max(joint, safety_factor * nlp_tol_*)."""
+    dtype = rs.dtype
+    red = jnp.asarray(opts.nlp_qp_tol_reduction_factor, dtype)
+    saf = jnp.asarray(opts.nlp_qp_tol_safety_factor, dtype)
+    cap = jnp.asarray(1e-2, dtype)
+    joint = jnp.max(jnp.stack([
+        jnp.minimum(red * rs, cap), jnp.minimum(red * re, cap),
+        jnp.minimum(red * ri, cap), jnp.minimum(red * rc, cap)]))
+    return qp_opts.replace(
+        tol_stat=jnp.maximum(joint, saf * opts.tol_stat),
+        tol_eq=jnp.maximum(joint, saf * opts.tol_eq),
+        tol_ineq=jnp.maximum(joint, saf * opts.tol_ineq),
+        tol_comp=jnp.maximum(joint, saf * opts.tol_comp))
+
+
+def use_x0_elimination(form: OcpNlpFormulation, opts: SqpOpts) -> bool:
+    """Static eligibility for initial-state elimination (the HPIPM
+    d_ocp_qp_reduce_eq_dof analog): the builder must have proven the
+    stage-0 rows start with a full-state identity equality block
+    (x0_equality), none of those rows softened, and the QP must go to
+    the plain Riccati IPM (condensing keeps the stage-0 rows attached
+    to the block-entry state; scaling rescales the rows the eliminated
+    dx0 is read from)."""
+    nx = form.nx
+    return bool(
+        opts.eliminate_x0
+        and getattr(form, "x0_equality", False)
+        and form.con_0.idxbx == tuple(range(nx))
+        and not any(r < nx for r in form.con_0.soft_rows)
+        and opts.cond_N is None and not opts.full_cond
+        and opts.qp_solver_name == "RICCATI_IPM"
+        and opts.qpscaling == "NO_SCALING")
+
+
 def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
     """Build the jitted SQP solve function.
 
@@ -384,28 +439,33 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
     _keep_rows = (None if getattr(form, "segments", None) is not None
                   else (form.con_0.nrows, form.con.nrows,
                         form.con_e.nrows))
+    _x0_fixed = use_x0_elimination(form, opts)
 
-    def solve_qp(qp, warm=None):
+    def solve_qp(qp, warm=None, qp_opts=None):
         """QP backend dispatch: scaling front-end -> condensing front-end
-        -> Riccati IPM."""
+        -> Riccati IPM. qp_opts overrides opts.qp_opts (the adaptive
+        QP-tolerance strategy passes per-iteration tolerances)."""
+        if qp_opts is None:
+            qp_opts = opts.qp_opts
         scales = None
         if opts.qpscaling != "NO_SCALING":
             from acados_tpu.ocp_qp.qpscaling import scale_qp, unscale_sol
             qp, scales = scale_qp(qp)
             warm = None  # warm point is in unscaled units
         if opts.full_cond:
-            sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
+            sol, info = solve_ocp_qp_xcond(qp, qp_opts,
                                            full_cond=True)
         elif opts.cond_N is not None:
-            sol, info = solve_ocp_qp_xcond(qp, opts.qp_opts,
+            sol, info = solve_ocp_qp_xcond(qp, qp_opts,
                                            cond_N=opts.cond_N, warm=warm,
                                            keep_rows=_keep_rows)
         elif opts.qp_solver_name != "RICCATI_IPM":
             from acados_tpu.ocp_qp.registry import get_qp_backend
             sol, info = get_qp_backend(opts.qp_solver_name)(
-                qp, opts.qp_opts, warm=warm)
+                qp, qp_opts, warm=warm)
         else:
-            sol, info = solve_ocp_qp(qp, opts.qp_opts, warm=warm)
+            sol, info = solve_ocp_qp(qp, qp_opts, warm=warm,
+                                     x0_fixed=_x0_fixed)
         if scales is not None:
             sol = unscale_sol(sol, scales)
         return sol, info
@@ -459,6 +519,11 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             # above use only gradients, so they see the true problem.
             qp_solve = regularize_qp(qp, opts.regularize_method,
                                      opts.reg_epsilon)
+            if opts.nlp_qp_tol_strategy == "ADAPTIVE_CURRENT_RES_JOINT":
+                qp_opts_k = adaptive_qp_tol(opts, opts.qp_opts, rs, re,
+                                            ri, rc)
+            else:
+                qp_opts_k = opts.qp_opts
             if opts.warm_start_first_qp_from_nlp:
                 from acados_tpu.ocp_qp.data import OcpQpSol
                 warm0 = OcpQpSol(
@@ -466,9 +531,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                     pi=it.pi, lam_lg=it.lam_l, lam_ug=it.lam_u,
                     t_lg=jnp.ones_like(it.lam_l),
                     t_ug=jnp.ones_like(it.lam_u), sl=it.sl, su=it.su)
-                sol, info = solve_qp(qp_solve, warm=warm0)
+                sol, info = solve_qp(qp_solve, warm=warm0,
+                                     qp_opts=qp_opts_k)
             else:
-                sol, info = solve_qp(qp_solve)
+                sol, info = solve_qp(qp_solve, qp_opts=qp_opts_k)
             qp_ok = info.status <= 0
             # QP hit its iteration limit but may still be usable; only a
             # NaN QP is fatal (reference: QP failure propagation,
@@ -518,20 +584,18 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                     x_t = it.x + sol.x
                     u_t = it.u + sol.u
                     gap_t = eval_dyn_gap(form, data, x_t, u_t)
-                    dgap_lin = (jnp.einsum("kij,kj->ki", qp.A,
-                                           sol.x[:-1])
-                                + jnp.einsum("kij,kj->ki", qp.B, sol.u)
-                                - sol.x[1:])
+                    dgap_lin = (mv(qp.A, sol.x[:-1])
+                                + mv(qp.B, sol.u) - sol.x[1:])
                     g_t = eval_constraints(form, data, x_t, u_t)
                     g_cur = eval_constraints(form, data, it.x, it.u)
-                    drow = jnp.einsum("kij,kj->ki", qp.C, sol.x)
-                    drow = drow.at[:-1].add(
-                        jnp.einsum("kij,kj->ki", qp.D, sol.u))
+                    drow = mv(qp.C, sol.x)
+                    drow = drow.at[:-1].add(mv(qp.D, sol.u))
                     delta2 = g_t - g_cur - drow
                     qp_soc = qp.replace(b=gap_t - dgap_lin,
                                         lg=qp.lg - delta2,
                                         ug=qp.ug - delta2)
-                    sol_soc, info_soc = solve_qp(qp_soc)
+                    sol_soc, info_soc = solve_qp(qp_soc,
+                                                 qp_opts=qp_opts_k)
                     qp_tot = qp_tot + info_soc.num_iter
                     m_soc = trial_merit(sol_soc,
                                         jnp.asarray(1.0, dtype))

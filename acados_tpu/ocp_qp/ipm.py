@@ -35,6 +35,7 @@ from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
 from acados_tpu.ocp_qp.riccati import (parallel_riccati_factor,
                                        parallel_riccati_solve,
                                        riccati_factor, riccati_solve)
+from acados_tpu.ops.smallmm import mTm, mTv, mv
 from acados_tpu.utils.struct import pytree_dataclass, static_field
 
 
@@ -52,7 +53,11 @@ class IpmOpts:
     tol_comp: float = 1e-8
     tau: float = 0.995          # fraction-to-boundary
     reg_eps: float = 1e-11      # Cholesky diagonal regularization
-    t0_min: float = 1e-1        # minimum initial slack distance
+    t0_min: float = 1e-1        # minimum initial slack distance (cold)
+    warm_t_min: float = 1e-4    # floor for warm-start slacks/multipliers:
+    # small enough to preserve the warm point's centrality (a 1e-1 floor
+    # destroys it and costs the full cold re-centering path), large
+    # enough that barrier weights lam/t stay representable in f32
     mu_min: float = 0.0         # hard floor on mu; the effective floor is
     # max(mu_min, 10*eps(dtype)): once the barrier is below machine
     # precision further iterations only amplify roundoff (relevant for the
@@ -65,6 +70,17 @@ class IpmOpts:
     # TPU MXU matmuls on f32 inputs default to bf16 passes, which destroys
     # the Newton directions (stationarity stalls ~1e-2); 'highest' uses
     # full-f32 accumulation. Set 'default' only for experimentation.
+    riccati_unroll: int = static_field(default=1)
+    # lax.scan unroll factor for the sequential Riccati sweeps: each stage
+    # step is tiny (nx, nu) algebra, so per-step loop dispatch latency
+    # dominates on TPU for small models; unrolling trades compile time
+    # for fused stage kernels. 1 = plain scan.
+    abs_form: bool = static_field(default=False)
+    # HPIPM SPEED_ABS analog (ocp_qp_hpipm.c:147-160 mode dispatch): skip
+    # the Mehrotra affine predictor — one Newton solve per iteration
+    # toward the fixed centering target sigma_abs * mu. Halves the
+    # per-iteration Riccati solves at the price of weaker centering.
+    sigma_abs: float = 0.1
 
 
 @pytree_dataclass
@@ -81,15 +97,15 @@ class IpmInfo:
 
 def _stage_g(qp: OcpQp, x, u):
     """g_k = C_k x_k + D_k u_k for all stages (D contributes for k < N)."""
-    g = jnp.einsum("kij,kj->ki", qp.C, x)
-    gu = jnp.einsum("kij,kj->ki", qp.D, u)
+    g = mv(qp.C, x)
+    gu = mv(qp.D, u)
     return g.at[:-1].add(gu)
 
 
 def _ct_vec(qp: OcpQp, v):
     """(C'v, D'v) stage-wise: v (N+1, nc) -> ((N+1, nx), (N, nu))."""
-    cv = jnp.einsum("kij,ki->kj", qp.C, v)
-    dv = jnp.einsum("kij,ki->kj", qp.D, v[:-1])
+    cv = mTv(qp.C, v)
+    dv = mTv(qp.D, v[:-1])
     return cv, dv
 
 
@@ -108,24 +124,22 @@ class _Iterate:
     lam_su: jnp.ndarray
 
 
-def _residuals(qp: OcpQp, it: _Iterate):
+def _residuals(qp: OcpQp, it: _Iterate, x0_fixed: bool = False):
     ml, mu_ = qp.mask_l, qp.mask_u
     sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
     g = _stage_g(qp, it.x, it.u)
     lam_d = ml * it.lam_l - mu_ * it.lam_u
     cv, dv = _ct_vec(qp, lam_d)
 
-    rx = jnp.einsum("kij,kj->ki", qp.Q, it.x) + qp.q - cv
-    rx = rx.at[:-1].add(jnp.einsum("kij,ki->kj", qp.S, it.u))
-    rx = rx.at[:-1].add(jnp.einsum("kij,ki->kj", qp.A, it.pi))
+    rx = mv(qp.Q, it.x) + qp.q - cv
+    rx = rx.at[:-1].add(mTv(qp.S, it.u))
+    rx = rx.at[:-1].add(mTv(qp.A, it.pi))
     rx = rx.at[1:].add(-it.pi)
 
-    ru = (jnp.einsum("kij,kj->ki", qp.S, it.x[:-1])
-          + jnp.einsum("kij,kj->ki", qp.R, it.u) + qp.r
-          + jnp.einsum("kij,ki->kj", qp.B, it.pi) - dv)
+    ru = (mv(qp.S, it.x[:-1]) + mv(qp.R, it.u) + qp.r
+          + mTv(qp.B, it.pi) - dv)
 
-    r_dyn = (jnp.einsum("kij,kj->ki", qp.A, it.x[:-1])
-             + jnp.einsum("kij,kj->ki", qp.B, it.u) + qp.b - it.x[1:])
+    r_dyn = mv(qp.A, it.x[:-1]) + mv(qp.B, it.u) + qp.b - it.x[1:]
 
     r_l = ml * (g + sml * it.sl - it.t_l - qp.lg)
     r_u = mu_ * (g - smu * it.su + it.t_u - qp.ug)
@@ -138,7 +152,21 @@ def _residuals(qp: OcpQp, it: _Iterate):
     ncomp = jnp.maximum(jnp.sum(ml) + jnp.sum(mu_)
                         + jnp.sum(sml) + jnp.sum(smu), 1.0)
     mu = comp / ncomp
+    if x0_fixed:
+        # eliminated initial state: stage-0 x-stationarity DEFINES the
+        # (eliminated) x0-row multiplier instead of being a residual
+        # (HPIPM d_ocp_qp_reduce_eq_dof; recovered in _x0_row_multiplier)
+        rx = rx.at[0].set(0.0)
     return (rx, ru, r_dyn, r_l, r_u, r_sl, r_su), mu
+
+
+def _x0_row_multiplier(qp: OcpQp, it: _Iterate):
+    """Multiplier of the eliminated stage-0 equality rows: the value that
+    makes stage-0 x-stationarity exact (reference
+    d_ocp_qp_reduce_eq_dof_sol restores the same multiplier)."""
+    lam_d = qp.mask_l * it.lam_l - qp.mask_u * it.lam_u
+    return (qp.Q[0] @ it.x[0] + qp.q[0] + qp.S[0].T @ it.u[0]
+            + qp.A[0].T @ it.pi[0] - qp.C[0].T @ lam_d[0])
 
 
 def _comp_inf(qp: OcpQp, it: _Iterate):
@@ -181,15 +209,16 @@ def _row_weights(qp: OcpQp, it: _Iterate):
 def _barrier_hessian(qp: OcpQp, W):
     """Qb, Rb, Sb = stage Hessian + G' diag(W) G."""
     WC = W[:, :, None] * qp.C
-    Qb = qp.Q + jnp.einsum("kij,kil->kjl", qp.C, WC)
+    Qb = qp.Q + mTm(qp.C, WC)
     WD = W[:-1, :, None] * qp.D
-    Rb = qp.R + jnp.einsum("kij,kil->kjl", qp.D, WD)
-    Sb = qp.S + jnp.einsum("kij,kil->kjl", qp.D, WC[:-1])
+    Rb = qp.R + mTm(qp.D, WD)
+    Sb = qp.S + mTm(qp.D, WC[:-1])
     return Qb, Rb, Sb
 
 
 def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
-                 rhs_cl, rhs_cu, rhs_csl, rhs_csu, parallel=False):
+                 rhs_cl, rhs_cu, rhs_csl, rhs_csu, parallel=False,
+                 dx0=None, unroll=1):
     """One reduced Newton solve for given complementarity right-hand sides."""
     rx, ru, r_dyn, r_l, r_u, r_sl, r_su = res
     _, (wl, wu, wsl, wsu, denom_l, denom_u) = weights
@@ -208,10 +237,14 @@ def _newton_step(qp: OcpQp, fact, it: _Iterate, res, weights,
     cg, dg_ = _ct_vec(qp, gamma)
     qb = rx - cg
     rb = ru - dg_
-    rsolve = parallel_riccati_solve if parallel else riccati_solve
-    dx, du, dpi = rsolve(fact, qp.A, qp.B, qb, rb, r_dyn)
-    dg = jnp.einsum("kij,kj->ki", qp.C, dx)
-    dg = dg.at[:-1].add(jnp.einsum("kij,kj->ki", qp.D, du))
+    if parallel:
+        dx, du, dpi = parallel_riccati_solve(fact, qp.A, qp.B, qb, rb,
+                                             r_dyn, dx0=dx0)
+    else:
+        dx, du, dpi = riccati_solve(fact, qp.A, qp.B, qb, rb, r_dyn,
+                                    dx0=dx0, unroll=unroll)
+    dg = mv(qp.C, dx)
+    dg = dg.at[:-1].add(mv(qp.D, du))
 
     dsl = sml * (a_l + c_l - wl * dg) / denom_l
     dsu = smu * (a_u + c_u + wu * dg) / denom_u
@@ -261,7 +294,8 @@ def _mu_of(qp: OcpQp, it: _Iterate):
     return comp / ncomp
 
 
-def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
+def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None,
+                  dx0=None) -> _Iterate:
     dt = qp.q.dtype
     ml, mu_ = qp.mask_l, qp.mask_u
     sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_
@@ -271,6 +305,8 @@ def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
         pi = jnp.zeros_like(qp.b)
     else:
         x, u, pi = warm.x, warm.u, warm.pi
+    if dx0 is not None:
+        x = x.at[0].set(dx0)
     g = _stage_g(qp, x, u)
     t0 = jnp.asarray(opts.t0_min, dt)
     t_l = jnp.where(ml > 0, jnp.maximum(g - qp.lg, t0), 1.0)
@@ -284,41 +320,89 @@ def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None) -> _Iterate:
         lam_su = jnp.where(smu > 0, jnp.asarray(opts.mu0, dt), 1.0)
     else:
         # dual warm start (reference analog: HPIPM warm_start modes 1/2 —
-        # primal, or primal+dual with clipped multipliers). Multipliers are
-        # floored at t0_min so the point stays strictly interior; slacks for
-        # softened rows include the slack-relaxed part of the warm slack so
-        # t and lam stay consistent with the warm point.
-        lam_l = jnp.where(ml > 0, jnp.maximum(warm.lam_lg, t0), 0.0)
-        lam_u = jnp.where(mu_ > 0, jnp.maximum(warm.lam_ug, t0), 0.0)
-        sl = jnp.where(sml > 0, jnp.maximum(warm.sl, t0), 1.0)
-        su = jnp.where(smu > 0, jnp.maximum(warm.su, t0), 1.0)
-        t_l = jnp.where(ml > 0, jnp.maximum(g + sml * sl - qp.lg, t0), 1.0)
-        t_u = jnp.where(mu_ > 0, jnp.maximum(qp.ug + smu * su - g, t0), 1.0)
-        lam_sl = jnp.where(sml > 0,
-                           jnp.maximum(qp.zl + qp.Zl * sl - lam_l, t0), 1.0)
-        lam_su = jnp.where(smu > 0,
-                           jnp.maximum(qp.zu + qp.Zu * su - lam_u, t0), 1.0)
+        # primal, or primal+dual with clipped multipliers). Floors use
+        # warm_t_min — small, to PRESERVE the warm point's centrality
+        # (lam*t stays near the previous solve's mu; a large floor would
+        # force the full cold re-centering path). Instances whose warm
+        # duals are identically zero (e.g. the first call of an RTI loop,
+        # before any QP has been solved) fall back to the cold init
+        # per-instance: zero duals with a tiny floor give a barrier too
+        # weak to control the first Newton step.
+        wt = jnp.asarray(opts.warm_t_min, dt)
+        cap = jnp.asarray(opts.mu0, dt)
+        sl_w = jnp.where(sml > 0, jnp.maximum(warm.sl, wt), 1.0)
+        su_w = jnp.where(smu > 0, jnp.maximum(warm.su, wt), 1.0)
+        t_l_w = jnp.where(ml > 0,
+                          jnp.maximum(g + sml * sl_w - qp.lg, wt), 1.0)
+        t_u_w = jnp.where(mu_ > 0,
+                          jnp.maximum(qp.ug + smu * su_w - g, wt), 1.0)
+        # complementarity-consistent clip: a warm multiplier on a row
+        # whose NEW slack t is large (active set flipped since the warm
+        # point) would start at lam*t >> mu and strand the IPM in an
+        # off-center limit cycle — cap each product at mu0
+        lam_l_w = jnp.where(
+            ml > 0, jnp.clip(warm.lam_lg, wt, cap / t_l_w), 0.0)
+        lam_u_w = jnp.where(
+            mu_ > 0, jnp.clip(warm.lam_ug, wt, cap / t_u_w), 0.0)
+        lam_sl_w = jnp.where(
+            sml > 0, jnp.maximum(qp.zl + qp.Zl * sl_w - lam_l_w, wt), 1.0)
+        lam_su_w = jnp.where(
+            smu > 0, jnp.maximum(qp.zu + qp.Zu * su_w - lam_u_w, wt), 1.0)
+        is_warm = (jnp.max(ml * jnp.abs(warm.lam_lg))
+                   + jnp.max(mu_ * jnp.abs(warm.lam_ug))) > 0
+        lam_l = jnp.where(is_warm, lam_l_w,
+                          jnp.where(ml > 0, opts.mu0 / t_l, 0.0))
+        lam_u = jnp.where(is_warm, lam_u_w,
+                          jnp.where(mu_ > 0, opts.mu0 / t_u, 0.0))
+        sl = jnp.where(is_warm, sl_w, jnp.ones_like(t_l))
+        su = jnp.where(is_warm, su_w, jnp.ones_like(t_u))
+        t_l = jnp.where(is_warm, t_l_w, t_l)
+        t_u = jnp.where(is_warm, t_u_w, t_u)
+        lam_sl = jnp.where(
+            is_warm, lam_sl_w,
+            jnp.where(sml > 0, jnp.asarray(opts.mu0, dt), 1.0))
+        lam_su = jnp.where(
+            is_warm, lam_su_w,
+            jnp.where(smu > 0, jnp.asarray(opts.mu0, dt), 1.0))
     return _Iterate(x=x, u=u, pi=pi, lam_l=lam_l, lam_u=lam_u,
                     t_l=t_l, t_u=t_u, sl=sl, su=su,
                     lam_sl=lam_sl, lam_su=lam_su)
 
 
-@partial(jax.jit, static_argnames=("unroll",))
+@partial(jax.jit, static_argnames=("unroll", "x0_fixed"))
 def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
-                 unroll: bool = False):
+                 unroll: bool = False, x0_fixed: bool = False):
     """Solve one OCP-QP. vmap over a leading batch axis for batched solves.
+
+    x0_fixed: eliminate the initial state (reference: HPIPM
+    d_ocp_qp_reduce_eq_dof, applied unconditionally by the reference's
+    partial-condensing front-end, ocp_qp_partial_condensing.c:542).
+    Requires the first nx stage-0 rows to be identity state rows with
+    lg == ug (the builder's x0 layout); those rows leave the barrier
+    entirely — the IPM no longer pays iterations re-growing their stiff
+    multipliers from the cold start — and their multipliers are recovered
+    from stage-0 stationarity at the solution.
 
     Returns (OcpQpSol, IpmInfo).
     """
     if opts is None:
         opts = IpmOpts()
     with jax.default_matmul_precision(opts.matmul_precision):
-        return _solve_ocp_qp_impl(qp, opts, warm, unroll)
+        return _solve_ocp_qp_impl(qp, opts, warm, unroll, x0_fixed)
 
 
-def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
-    it0 = _init_iterate(qp, opts, warm)
+def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
+                       x0_fixed: bool = False):
     dt = qp.q.dtype
+    nx = qp.q.shape[-1]
+    if x0_fixed:
+        dx0 = qp.lg[0, :nx]
+        dx0_zero = jnp.zeros_like(dx0)
+        qp = qp.replace(mask_l=qp.mask_l.at[0, :nx].set(0.0),
+                        mask_u=qp.mask_u.at[0, :nx].set(0.0))
+    else:
+        dx0 = dx0_zero = None
+    it0 = _init_iterate(qp, opts, warm, dx0=dx0)
     mu_floor = jnp.maximum(jnp.asarray(opts.mu_min, dt),
                            10 * jnp.finfo(dt).eps)
 
@@ -328,42 +412,63 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
                                   ri / opts.tol_ineq, mu / opts.tol_comp]))
 
     def cond(carry):
-        it, best_it, best_err, k, status, done = carry
+        it, res, mu, best_it, best_err, k, status, done = carry
         return jnp.logical_and(k < opts.iter_max, jnp.logical_not(done))
 
     def body(carry):
-        it, best_it, best_err, k, status, _ = carry
-        res, mu = _residuals(qp, it)
+        # res/mu carried from the previous iteration's evaluation — one
+        # _residuals per iteration instead of two
+        it, res, mu, best_it, best_err, k, status, _ = carry
         weights = _row_weights(qp, it)
         W = weights[0]
         Qb, Rb, Sb = _barrier_hessian(qp, W)
-        rfactor = (parallel_riccati_factor if opts.parallel_riccati
-                   else riccati_factor)
-        fact = rfactor(Qb, Rb, Sb, qp.A, qp.B, reg_eps=opts.reg_eps)
+        if opts.parallel_riccati:
+            fact = parallel_riccati_factor(Qb, Rb, Sb, qp.A, qp.B,
+                                           reg_eps=opts.reg_eps)
+        else:
+            fact = riccati_factor(Qb, Rb, Sb, qp.A, qp.B,
+                                  reg_eps=opts.reg_eps,
+                                  unroll=opts.riccati_unroll)
 
         ml, mu_2 = qp.mask_l, qp.mask_u
         sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_2
-        # --- affine (predictor) step: rc = 0 -> rhs = -lam*t
-        rhs_cl = -ml * it.lam_l * it.t_l
-        rhs_cu = -mu_2 * it.lam_u * it.t_u
-        rhs_csl = -sml * it.lam_sl * it.sl
-        rhs_csu = -smu * it.lam_su * it.su
-        d_aff = _newton_step(qp, fact, it, res, weights,
-                             rhs_cl, rhs_cu, rhs_csl, rhs_csu,
-                             parallel=opts.parallel_riccati)
-        alpha_aff = _max_alpha(qp, it, d_aff, opts.tau)
-        mu_aff = _mu_of(qp, _apply(it, d_aff, alpha_aff))
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        if opts.abs_form:
+            # SPEED_ABS: single centered Newton solve toward sigma_abs*mu
+            cmu = opts.sigma_abs * mu
+            rhs_cl = ml * (cmu - it.lam_l * it.t_l)
+            rhs_cu = mu_2 * (cmu - it.lam_u * it.t_u)
+            rhs_csl = sml * (cmu - it.lam_sl * it.sl)
+            rhs_csu = smu * (cmu - it.lam_su * it.su)
+        else:
+            # --- affine (predictor) step: rc = 0 -> rhs = -lam*t
+            rhs_cl = -ml * it.lam_l * it.t_l
+            rhs_cu = -mu_2 * it.lam_u * it.t_u
+            rhs_csl = -sml * it.lam_sl * it.sl
+            rhs_csu = -smu * it.lam_su * it.su
+            d_aff = _newton_step(qp, fact, it, res, weights,
+                                 rhs_cl, rhs_cu, rhs_csl, rhs_csu,
+                                 parallel=opts.parallel_riccati,
+                                 dx0=dx0_zero,
+                                 unroll=opts.riccati_unroll)
+            alpha_aff = _max_alpha(qp, it, d_aff, opts.tau)
+            mu_aff = _mu_of(qp, _apply(it, d_aff, alpha_aff))
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3,
+                             0.0, 1.0)
 
-        # --- corrector: rc = sigma*mu - dlam_aff*dt_aff
-        cmu = sigma * mu
-        rhs_cl = ml * (cmu - it.lam_l * it.t_l - d_aff.lam_l * d_aff.t_l)
-        rhs_cu = mu_2 * (cmu - it.lam_u * it.t_u - d_aff.lam_u * d_aff.t_u)
-        rhs_csl = sml * (cmu - it.lam_sl * it.sl - d_aff.lam_sl * d_aff.sl)
-        rhs_csu = smu * (cmu - it.lam_su * it.su - d_aff.lam_su * d_aff.su)
+            # --- corrector: rc = sigma*mu - dlam_aff*dt_aff
+            cmu = sigma * mu
+            rhs_cl = ml * (cmu - it.lam_l * it.t_l
+                           - d_aff.lam_l * d_aff.t_l)
+            rhs_cu = mu_2 * (cmu - it.lam_u * it.t_u
+                             - d_aff.lam_u * d_aff.t_u)
+            rhs_csl = sml * (cmu - it.lam_sl * it.sl
+                             - d_aff.lam_sl * d_aff.sl)
+            rhs_csu = smu * (cmu - it.lam_su * it.su
+                             - d_aff.lam_su * d_aff.su)
         d = _newton_step(qp, fact, it, res, weights,
                          rhs_cl, rhs_cu, rhs_csl, rhs_csu,
-                         parallel=opts.parallel_riccati)
+                         parallel=opts.parallel_riccati, dx0=dx0_zero,
+                         unroll=opts.riccati_unroll)
         alpha = _max_alpha(qp, it, d, opts.tau)
         it_new = _apply(it, d, alpha)
 
@@ -372,7 +477,7 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         it_new = jax.tree.map(lambda new, old: jnp.where(nan, old, new),
                               it_new, it)
 
-        res_new, mu_new = _residuals(qp, it_new)
+        res_new, mu_new = _residuals(qp, it_new, x0_fixed)
         rs, re, ri = _res_norms(res_new)
         err = err_of(rs, re, ri, _comp_inf(qp, it_new))
         improved = err < best_err
@@ -382,27 +487,36 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll):
         converged = err <= 1.0
         status = jnp.where(nan, 1, jnp.where(converged, 0, status))
         done = converged | nan | (mu_new < mu_floor)
-        return (it_new, best_it, best_err, k + 1, status, done)
+        return (it_new, res_new, mu_new, best_it, best_err, k + 1, status,
+                done)
 
     init_status = jnp.asarray(2, jnp.int32)  # max_iter unless proven otherwise
-    res0, _ = _residuals(qp, it0)
+    res0, mu0_ = _residuals(qp, it0, x0_fixed)
     err0 = err_of(*_res_norms(res0), _comp_inf(qp, it0))
-    carry0 = (it0, it0, err0, jnp.asarray(0, jnp.int32), init_status,
-              jnp.asarray(False))
+    carry0 = (it0, res0, mu0_, it0, err0, jnp.asarray(0, jnp.int32),
+              init_status, jnp.asarray(False))
     if unroll:
         carry = carry0
         for _ in range(opts.iter_max):
             carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     else:
         carry = jax.lax.while_loop(cond, body, carry0)
-    _, it, best_err, k, status, _ = carry
+    it, res, mu, _, best_err, k, status, _ = carry
     status = jnp.where(best_err <= 1.0, 0, status)
 
-    res, mu = _residuals(qp, it)
     rs, re, ri = _res_norms(res)
+    lam_lg = it.lam_l * qp.mask_l
+    lam_ug = it.lam_u * qp.mask_u
+    t_lg, t_ug = it.t_l, it.t_u
+    if x0_fixed:
+        lam0 = _x0_row_multiplier(qp, it)
+        lam_lg = lam_lg.at[0, :nx].set(jnp.maximum(lam0, 0.0))
+        lam_ug = lam_ug.at[0, :nx].set(jnp.maximum(-lam0, 0.0))
+        t_lg = t_lg.at[0, :nx].set(0.0)
+        t_ug = t_ug.at[0, :nx].set(0.0)
     sol = OcpQpSol(x=it.x, u=it.u, pi=it.pi,
-                   lam_lg=it.lam_l * qp.mask_l, lam_ug=it.lam_u * qp.mask_u,
-                   t_lg=it.t_l, t_ug=it.t_u,
+                   lam_lg=lam_lg, lam_ug=lam_ug,
+                   t_lg=t_lg, t_ug=t_ug,
                    sl=it.sl * qp.soft_mask * qp.mask_l,
                    su=it.su * qp.soft_mask * qp.mask_u)
     info = IpmInfo(num_iter=k, mu=mu, res_stat=rs, res_eq=re, res_ineq=ri,

