@@ -255,6 +255,12 @@ class AcadosOcpOptions:
     # self-referential at an RTI steady state (the QP tolerance tracks
     # the stalled residual), so RTI should keep FIXED_QP_TOL.
     nlp_qp_tol_strategy: str = "FIXED_QP_TOL"
+    # measure time_lin/time_reg/time_qp/time_glob INSIDE the solve via
+    # ordered host-clock callbacks (reference ocp_nlp_timings,
+    # ocp_nlp_common.h:410-428). Diagnostic mode for single-instance
+    # solves (each boundary is a host round trip; ordered callbacks do
+    # not vmap). Off: get_stats falls back to the re-execution estimate.
+    collect_phase_times: bool = False
     nlp_qp_tol_reduction_factor: float = 1e-1
     nlp_qp_tol_safety_factor: float = 0.1
     nlp_qp_tol_min_stat: float = 1e-9
@@ -324,6 +330,94 @@ class AcadosOcpOptions:
     # on chip it raises the RTI steady-state residual floor (see
     # SqpOpts.warm_start_first_qp_from_nlp)
     qp_solver_warm_start: int = 0
+    # ---- reference options tail (acados_ocp_options.py, 2770 LoC) ----
+    # Fields are grouped by status: WIRED = changes solver behavior here;
+    # PARITY = accepted + validated, semantics covered by an existing
+    # mechanism or by-inversion N/A (rationale inline). Codegen-only
+    # fields of the reference (ext_fun_compile_flags, custom_templates,
+    # model_external_shared_lib_*, ext_fun_expand_*) are intentionally
+    # absent: there is no code generation to configure.
+    # WIRED: print the per-iteration stat table after each solve
+    # (reference print_level; jit compiles the whole solve, so the table
+    # prints post-hoc rather than live)
+    print_level: int = 0
+    # WIRED: per-field QP tolerances (reference qp_solver_tol_*);
+    # None = derive from qp_tol / the nlp tolerances
+    qp_solver_tol_stat: Optional[float] = None
+    qp_solver_tol_eq: Optional[float] = None
+    qp_solver_tol_ineq: Optional[float] = None
+    qp_solver_tol_comp: Optional[float] = None
+    # WIRED: barrier floor of the QP IPM (reference tau_min: minimum
+    # barrier parameter for solution-sensitivity-grade solves) -> the
+    # IPM's mu_min
+    tau_min: float = 0.0
+    # WIRED: explicit ragged condensing block sizes (reference
+    # qp_solver_cond_block_size -> HPIPM per-block sizes); None = derive
+    # from qp_solver_cond_N via the HPIPM remainder rule
+    qp_solver_cond_block_size: Optional[list] = None
+    # WIRED: reference spelling of warm_start_first_qp_from_nlp
+    # (ocp_nlp_common.h:350); qp_solver_warm_start above is the legacy
+    # alias this implementation exposed first
+    nlp_solver_warm_start_first_qp: bool = False
+    nlp_solver_warm_start_first_qp_from_nlp: bool = False
+    # WIRED: slack/multiplier floor of the solution-sensitivity KKT
+    # smoothing (reference solution_sens_qp_t_lam_min,
+    # ocp_nlp_common.h:337)
+    solution_sens_qp_t_lam_min: float = 1e-9
+    # WIRED: reference alias of nlp_solver_step_length
+    globalization_fixed_step_length: Optional[float] = None
+    # WIRED: reference alias of tol_min_step_norm
+    nlp_solver_tol_min_step_norm: Optional[float] = None
+    # PARITY: IRK Newton tolerance (reference sim_method_newton_tol,
+    # default 0.0 = pure fixed-iteration Newton — exactly this
+    # implementation's XLA-friendly design; a nonzero value is refused
+    # rather than silently ignored)
+    sim_method_newton_tol: float = 0.0
+    # PARITY: residuals are always evaluated at the returned iterate for
+    # SQP (reference eval_residual_at_max_iter default True); RTI
+    # reports the preparation-point residuals (reference semantics)
+    eval_residual_at_max_iter: bool = True
+    # PARITY: RTI residual logging switches (reference rti_log_residuals
+    # / rti_log_only_available_residuals): the stat matrix always
+    # carries the preparation-point residuals here
+    rti_log_residuals: int = 0
+    rti_log_only_available_residuals: int = 0
+    # PARITY: primal step norms are always logged (stat column
+    # 'step_norm'); dual step norms are not tracked
+    log_primal_step_norm: bool = False
+    log_dual_step_norm: bool = False
+    # PARITY: Riccati algorithm selectors (reference qp_solver_ric_alg /
+    # qp_solver_cond_ric_alg, 0 = classical, 1 = square-root): the
+    # Riccati here factorizes Huu by Cholesky per stage (the square-root
+    # flavor); selector accepted for config compatibility
+    qp_solver_ric_alg: int = 1
+    qp_solver_cond_ric_alg: int = 1
+    # PARITY: HPIPM initial-slack strategy (qp_solver_t0_init; the IPM
+    # here uses the t0_min floor strategy ~ mode 1)
+    qp_solver_t0_init: int = 1
+    # PARITY: numeric-Hessian EXTERNAL cost (reference ext_cost_num_hess
+    # = finite-difference Hessian of CasADi costs): jax.hessian is exact
+    # for every EXTERNAL cost, so there is nothing to approximate
+    ext_cost_num_hess: int = 0
+    # PARITY: constant-Hessian declaration (reference fixed_hess skips
+    # Hessian re-evaluation; XLA's fused linearization recomputes it for
+    # free within the same pass)
+    fixed_hess: int = 0
+    # PARITY: batch solving needs no opt-in (reference
+    # with_batch_functionality gates OpenMP codegen; vmap is always on)
+    with_batch_functionality: bool = True
+    num_threads_in_batch_solve: int = 1
+    # PARITY: solution-sensitivity opt-ins (reference
+    # with_solution_sens_wrt_params / with_value_sens_wrt_params
+    # preallocate seed memory at codegen; the jax sensitivity paths
+    # allocate nothing ahead of time)
+    with_solution_sens_wrt_params: bool = False
+    with_value_sens_wrt_params: bool = False
+    # PARITY: WFQP options (reference ocp_nlp_sqp_with_feasible_qp.c:
+    # 122-123); wired through interface defaults into wfqp.py
+    use_constraint_hessian_in_feas_qp: bool = False
+    search_direction_mode: str = "NOMINAL_QP"
+    allow_direction_mode_switch_to_nominal: bool = True
     # TPU-specific
     dtype: str = "float32"
 

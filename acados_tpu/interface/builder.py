@@ -276,33 +276,69 @@ def _build_cost_spec(ocp: AcadosOcp, which: str):
     raise ValueError(f"unsupported cost type {kind!r}")
 
 
-def _wrap_cost_integrator(spec, f4, num_stages: int, num_steps: int):
+def _wrap_cost_integrator(spec, points_fn, weights):
     """cost_discretization = INTEGRATOR: evaluate the Lagrange cost at
-    the ERK quadrature points of the dynamics integrator instead of the
-    Euler point (reference acados_ocp_options cost_discretization;
-    exact-value CI oracle test_cost_integration_value.py:46).
+    the dynamics integrator's quadrature points instead of the Euler
+    point (reference cost_discretization, acados_ocp_options.py:2285 —
+    "only supported for IRK integrator"; scope check acados_ocp.py:
+    1176-1178 restricts to NONLINEAR_LS and CONVEX_OVER_NONLINEAR; value
+    pinned by the exact-value CI oracle test_cost_integration_value.py:46).
+
+    points_fn(x, u, p, t, dtk) -> (Xs (nq, nx), Zs (nq, nz) | None,
+    Ts (nq,)); weights (nq,) sum to 1 (the external dt factor comes from
+    NlpData.cost_scale = dts).
 
     LS family: the integral of the weighted residual norm IS a weighted
     least squares over the stacked stage residuals, so Gauss-Newton
-    structure is preserved exactly (sum_q w_q J_q' W J_q). EXTERNAL:
-    plain quadrature of the scalar cost. The external dt scaling
-    (NlpData.cost_scale = dts) provides the h factor.
-    """
+    structure is preserved exactly (sum_q w_q J_q' W J_q). CONL: stacked
+    inner residuals with the outer psi applied per point — the
+    generalized GN Hessian sum_q w_q J_q' psi''(r_q) J_q (CostSpec
+    stacked-CONL branch). EXTERNAL: plain quadrature of the scalar cost
+    (an extension over the reference's scope). z-dependent integrands
+    receive the per-point algebraic stage values Zs (IRK only — ERK has
+    no z)."""
     import dataclasses as _dc
 
+    wq = np.asarray(weights, np.float64)
+
+    def call_pt(f0, x, u, p, t, dtk):
+        Xs, Zs, Ts = points_fn(x, u, p, t, dtk)
+        if spec.with_z:
+            return jnp.stack([f0(xi, u, zi, p, ti) for xi, zi, ti in
+                              zip(Xs, Zs, Ts)])
+        return jnp.stack([f0(xi, u, p, ti) for xi, ti in zip(Xs, Ts)])
+
+    if spec.kind in ("LINEAR_LS", "NONLINEAR_LS", "CONL"):
+        y0 = spec.y_fun
+
+        def y_int(x, u, p, t, dtk):
+            return call_pt(y0, x, u, p, t, dtk)
+
+        return _dc.replace(
+            spec, kind=("CONL" if spec.kind == "CONL" else "NONLINEAR_LS"),
+            y_fun=y_int, Vx=None, Vu=None, needs_dt=True, with_z=False,
+            quad_weights=wq)
+    if spec.kind == "EXTERNAL":
+        e0 = spec.ext_fun
+
+        def e_int(x, u, p, t, dtk):
+            vals = call_pt(e0, x, u, p, t, dtk)
+            return jnp.sum(jnp.asarray(wq, x.dtype) * vals)
+
+        return _dc.replace(spec, ext_fun=e_int, needs_dt=True,
+                           with_z=False)
+    raise ValueError(spec.kind)
+
+
+def _erk_points_fn(f4, num_stages, num_steps):
+    """Quadrature points of the explicit-RK chain (our ERK extension of
+    the reference's IRK-only INTEGRATOR support)."""
     from acados_tpu.sim.butcher import erk_tableau
 
-    if spec.with_z:
-        raise NotImplementedError(
-            "cost_discretization INTEGRATOR with z-dependent cost")
-    if spec.kind == "CONL":
-        raise NotImplementedError(
-            "cost_discretization INTEGRATOR with CONL (reference "
-            "supports LS/EXTERNAL; reformulate psi into the residual)")
     A_t, b_t, c_t = erk_tableau(num_stages)
     ns, m = num_stages, num_steps
 
-    def stage_points(x, u, p, t, dtk):
+    def points(x, u, p, t, dtk):
         h = dtk / m
         Ax = A_t.astype(x.dtype)
         bx = b_t.astype(x.dtype)
@@ -322,32 +358,10 @@ def _wrap_cost_integrator(spec, f4, num_stages: int, num_steps: int):
                 pts_t.append(t0 + cx[si] * h)
             for sj in range(ns):
                 xcur = xcur + (h * bx[sj]) * ks[sj]
-        return pts_x, pts_t
+        return (jnp.stack(pts_x), None, jnp.stack(pts_t))
 
-    wq = np.tile(np.asarray(b_t, np.float64) / m, m)   # sums to 1
-    if spec.kind in ("LINEAR_LS", "NONLINEAR_LS"):
-        y0 = spec.y_fun
-
-        def y_int(x, u, p, t, dtk):
-            pts_x, pts_t = stage_points(x, u, p, t, dtk)
-            return jnp.stack([y0(xi, u, p, ti)
-                              for xi, ti in zip(pts_x, pts_t)])
-
-        return _dc.replace(spec, kind="NONLINEAR_LS", y_fun=y_int,
-                           Vx=None, Vu=None, needs_dt=True,
-                           quad_weights=wq)
-    if spec.kind == "EXTERNAL":
-        e0 = spec.ext_fun
-
-        def e_int(x, u, p, t, dtk):
-            pts_x, pts_t = stage_points(x, u, p, t, dtk)
-            wqx = jnp.asarray(wq, x.dtype)
-            vals = jnp.stack([e0(xi, u, p, ti)
-                              for xi, ti in zip(pts_x, pts_t)])
-            return jnp.sum(wqx * vals)
-
-        return _dc.replace(spec, ext_fun=e_int, needs_dt=True)
-    raise ValueError(spec.kind)
+    weights = np.tile(np.asarray(b_t, np.float64) / m, m)
+    return points, weights
 
 
 def _idx(v):
@@ -536,7 +550,7 @@ def build_ocp(ocp: AcadosOcp):
             f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx, nu=nu,
             nz=_dim_of(m.z), opts=sim_opts)
         step_jac_fn = make_step_jac_fn(
-            f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx,
+            f_expl=m.f_expl_expr, f_impl=m.f_impl_expr, nx=nx, nu=nu,
             nz=_dim_of(m.z), opts=sim_opts,
             jac_reuse=bool(so.sim_method_jac_reuse))
 
@@ -546,19 +560,36 @@ def build_ocp(ocp: AcadosOcp):
     cost_e = _build_cost_spec(ocp, "e")
 
     if so.cost_discretization == "INTEGRATOR":
-        if so.integrator_type != "ERK":
+        if so.integrator_type == "ERK":
+            from acados_tpu.sim.integrator import normalize_dynamics
+            pts_fn, wts = _erk_points_fn(
+                normalize_dynamics(m.f_expl_expr),
+                so.sim_method_num_stages, so.sim_method_num_steps)
+        elif so.integrator_type in ("IRK", "LIFTED_IRK"):
+            # the reference's supported integrator for INTEGRATOR cost
+            # (acados_ocp_options.py:2285)
+            from acados_tpu.sim.integrator import (
+                implicit_from_explicit, normalize_dynamics,
+                normalize_implicit_dynamics)
+            fi = (normalize_implicit_dynamics(m.f_impl_expr)
+                  if m.f_impl_expr is not None
+                  else implicit_from_explicit(
+                      normalize_dynamics(m.f_expl_expr)))
+            from acados_tpu.sim.irk import make_irk_stage_points
+            pts_fn, wts = make_irk_stage_points(
+                fi, nx=nx, nz=_dim_of(m.z),
+                num_stages=so.sim_method_num_stages,
+                num_steps=so.sim_method_num_steps,
+                newton_iter=so.sim_method_newton_iter,
+                collocation=so.collocation_type)
+        else:
             raise NotImplementedError(
-                "cost_discretization INTEGRATOR is implemented for ERK "
-                "(the reference's CI-pinned configuration); IRK cost "
-                "propagation is not wired yet")
-        from acados_tpu.sim.integrator import normalize_dynamics
-        f4 = normalize_dynamics(m.f_expl_expr)
-        cost_0 = _wrap_cost_integrator(cost_0, f4,
-                                       so.sim_method_num_stages,
-                                       so.sim_method_num_steps)
-        cost_p = _wrap_cost_integrator(cost_p, f4,
-                                       so.sim_method_num_stages,
-                                       so.sim_method_num_steps)
+                "cost_discretization INTEGRATOR supports ERK and IRK "
+                "(the reference supports IRK only, "
+                "acados_ocp_options.py:2285); got "
+                f"{so.integrator_type}")
+        cost_0 = _wrap_cost_integrator(cost_0, pts_fn, wts)
+        cost_p = _wrap_cost_integrator(cost_p, pts_fn, wts)
         # terminal (Mayer) term has no integral — untouched
 
     # --- algebraic variables in the NLP layer (DAE-constrained OCP) ------

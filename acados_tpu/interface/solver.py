@@ -43,6 +43,12 @@ def _fence(tree):
 
 def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
     so = ocp.solver_options
+    if so.sim_method_newton_tol != 0.0:
+        raise NotImplementedError(
+            "sim_method_newton_tol > 0 (tolerance-terminated IRK Newton) "
+            "is not supported: the integrator runs a fixed newton_iter "
+            "count inside jit (the reference's default, newton_tol = 0); "
+            "raise sim_method_newton_iter instead")
     qp_tol = so.qp_tol
     if qp_tol is None:
         # QP solved tighter than the NLP tolerance (reference default
@@ -63,19 +69,28 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
     if so.qp_solver_iter_max != 50:   # user override beats the preset
         iter_max = so.qp_solver_iter_max
     mu0 = so.qp_solver_mu0 if so.qp_solver_mu0 > 0 else mode["mu0"]
+    pick = lambda v: qp_tol if v is None else v
     qp_opts = IpmOpts(iter_max=iter_max, mu0=mu0,
                       tau=mode.get("tau", 0.995),
-                      tol_stat=qp_tol, tol_eq=qp_tol, tol_ineq=qp_tol,
-                      tol_comp=qp_tol)
+                      mu_min=so.tau_min,
+                      tol_stat=pick(so.qp_solver_tol_stat),
+                      tol_eq=pick(so.qp_solver_tol_eq),
+                      tol_ineq=pick(so.qp_solver_tol_ineq),
+                      tol_comp=pick(so.qp_solver_tol_comp))
     max_iter = (1 if so.nlp_solver_type == "SQP_RTI"
                 else so.nlp_solver_max_iter)
     return SqpOpts(
         max_iter=max_iter,
         rti=(so.nlp_solver_type == "SQP_RTI"),
-        warm_start_first_qp_from_nlp=bool(so.qp_solver_warm_start),
+        warm_start_first_qp_from_nlp=bool(
+            so.qp_solver_warm_start
+            or so.nlp_solver_warm_start_first_qp_from_nlp
+            or so.nlp_solver_warm_start_first_qp),
         tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
         tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp,
-        tol_min_step_norm=so.tol_min_step_norm,
+        tol_min_step_norm=(so.nlp_solver_tol_min_step_norm
+                           if so.nlp_solver_tol_min_step_norm is not None
+                           else so.tol_min_step_norm),
         timeout_max_time=so.timeout_max_time,
         timeout_heuristic=so.timeout_heuristic,
         levenberg_marquardt=so.levenberg_marquardt,
@@ -109,15 +124,21 @@ def _sqp_opts_from(ocp: AcadosOcp) -> SqpOpts:
         funnel_initial_penalty_parameter=(
             so.globalization_funnel_initial_penalty_parameter),
         cond_N=_resolve_cond(ocp), full_cond=_is_full_cond(so),
+        cond_block_size=(tuple(int(b) for b in
+                               so.qp_solver_cond_block_size)
+                         if so.qp_solver_cond_block_size else None),
         as_rti_level=_as_rti_level_str(so.as_rti_level),
         as_rti_iter=so.as_rti_iter,
         as_rti_advancement=so.as_rti_advancement_strategy,
-        step_length=so.nlp_solver_step_length,
+        step_length=(so.globalization_fixed_step_length
+                     if so.globalization_fixed_step_length is not None
+                     else so.nlp_solver_step_length),
         full_step_dual=so.globalization_full_step_dual,
         with_anderson_acceleration=so.with_anderson_acceleration,
         anderson_activation_threshold=so.anderson_activation_threshold,
         store_iterates=so.store_iterates,
         qpscaling=so.qpscaling_scale_objective,
+        collect_phase_times=so.collect_phase_times,
         nlp_qp_tol_strategy=so.nlp_qp_tol_strategy,
         nlp_qp_tol_reduction_factor=so.nlp_qp_tol_reduction_factor,
         nlp_qp_tol_safety_factor=so.nlp_qp_tol_safety_factor,
@@ -181,7 +202,7 @@ class AcadosOcpSolver:
         self._default_init = True
         self._last_stats = None
         self._phase_cache = None
-        self._print_level = 0
+        self._print_level = int(ocp.solver_options.print_level)
         self._time_tot = float("nan")
         self._time_prep = float("nan")
         self._time_fb = float("nan")
@@ -546,9 +567,12 @@ class AcadosOcpSolver:
 
     # -- solution sensitivities -------------------------------------------------
     def _kkt_factor(self) -> KktFactor:
-        return KktFactor(self.form, SensOpts(),
-                         data_to_jax(self._data, self.dtype),
-                         self._iterate_jax())
+        so = self.acados_ocp.solver_options
+        return KktFactor(
+            self.form,
+            SensOpts(t_lam_min=so.solution_sens_qp_t_lam_min),
+            data_to_jax(self._data, self.dtype),
+            self._iterate_jax())
 
     def _zero_data_tangent(self):
         data = data_to_jax(self._data, self.dtype)
@@ -746,7 +770,21 @@ class AcadosOcpSolver:
         integrator sweep are each jitted standalone, run at the last
         solve's final iterate, timed, and scaled by the iteration counts
         from the stat matrix. Cached per solve; first call pays the
-        (cached-after-first) compile."""
+        (cached-after-first) compile.
+
+        With solver_options.collect_phase_times the per-phase times are
+        instead MEASURED inside the solve (reference semantics,
+        ocp_nlp_timings, ocp_nlp_common.h:410-428) via ordered host-clock
+        callbacks at the phase boundaries; time_sim is then reported as
+        part of time_lin (the fused linearization includes the
+        integrator sweep), matching the reference's time_lin >= time_sim
+        containment."""
+        st = self._last_stats
+        if st is not None and getattr(st, "phase_times", None) is not None:
+            pt = np.asarray(st.phase_times, np.float64)
+            return {"time_lin": float(pt[0]), "time_sim": float(pt[0]),
+                    "time_reg": float(pt[1]), "time_qp": float(pt[2]),
+                    "time_glob": float(pt[3])}
         if getattr(self, "_phase_cache", None) is not None:
             return self._phase_cache
         import time as _time

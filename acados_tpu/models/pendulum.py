@@ -85,6 +85,14 @@ def make_pendulum_ocp(N=20, Tf=1.0, Fmax=80.0, x0=None,
     ocp.solver_options.dtype = dtype
     if dtype == "float32":
         # f32 production path: tolerances at the machine-precision plateau
+        # + a small Levenberg-Marquardt damping: borderline bang-bang
+        # instances otherwise chatter between two active sets across RTI
+        # calls (knife-edge switching time), and ONE such instance in a
+        # lockstep vmapped batch stalls at its residual plateau; the
+        # damping strengthens the RTI fixed-point contraction (measured:
+        # 1-2 chatterers per 4096 at lm=0 -> none at 1e-4, floor cost
+        # med 3.7e-4 -> 4.4e-4)
+        ocp.solver_options.levenberg_marquardt = 1e-4
         ocp.solver_options.nlp_solver_tol_stat = 2e-3
         ocp.solver_options.nlp_solver_tol_eq = 1e-4
         ocp.solver_options.nlp_solver_tol_ineq = 1e-4

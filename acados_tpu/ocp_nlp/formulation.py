@@ -103,6 +103,13 @@ class CostSpec:
                 - data["yref"]
             return 0.5 * r @ data["W"] @ r
         if self.kind == "CONL":
+            if self.quad_weights is not None:
+                # INTEGRATOR: psi applied per quadrature point
+                Y = self._call(self.y_fun, x, u, p, t, zlin, dt_)
+                R = Y - data["yref"][None, :]
+                wq = jnp.asarray(self.quad_weights, x.dtype)
+                vals = jax.vmap(lambda r_: self.psi_fun(r_, p))(R)
+                return jnp.sum(wq * vals)
             r = self._call(self.y_fun, x, u, p, t, zlin, dt_) \
                 - data["yref"]
             return self.psi_fun(r, p)
@@ -164,6 +171,21 @@ class CostSpec:
                 # the reference gets from the nls_y_hess external function)
                 H = H + jax.hessian(
                     lambda w_: yf(w_) @ jax.lax.stop_gradient(Wr))(w)
+            return H, grad
+        if self.kind == "CONL" and self.quad_weights is not None:
+            # integrated generalized Gauss-Newton: per quadrature point
+            # H += w_q J_q' psi''(r_q) J_q (outer convexity per point)
+            yf = lambda w_: (self._call(self.y_fun, *split(w_), p, t,
+                                        zlin, dt_)
+                             - data["yref"][None, :])
+            R = yf(w)                           # (nq, ny)
+            J = jax.jacfwd(yf)(w)               # (nq, ny, nw)
+            wq = jnp.asarray(self.quad_weights, w.dtype)
+            gpsi = jax.vmap(jax.grad(lambda r_: self.psi_fun(r_, p)))(R)
+            Hpsi = jax.vmap(jax.hessian(
+                lambda r_: self.psi_fun(r_, p)))(R)
+            grad = jnp.einsum("q,qiw,qi->w", wq, J, gpsi)
+            H = jnp.einsum("q,qiw,qij,qjv->wv", wq, J, Hpsi, J)
             return H, grad
         if self.kind == "CONL":
             yf = lambda w_: (self._call(self.y_fun, *split(w_), p, t,

@@ -42,6 +42,13 @@ STAT_COLS = ("res_stat", "res_eq", "res_ineq", "res_comp", "qp_status",
 _CLOCK_EPOCH = None
 
 
+def _wall_clock_dep(_dep):
+    """_wall_clock with a dummy data dependency: the caller passes a
+    scalar produced by the phase being timed, forcing XLA to finish that
+    phase before the (ordered) callback fires."""
+    return _wall_clock()
+
+
 def _wall_clock():
     """Host wall clock for the predictive timeout (io_callback target);
     relative to first use so f32 keeps sub-ms resolution."""
@@ -117,6 +124,9 @@ class SqpOpts:
     # ocp_qp_interface.h:60-106). cond_N must divide N (use
     # xcond.resolve_cond_N); None = no condensing.
     cond_N: int | None = static_field(default=None)
+    # explicit ragged block sizes (reference qp_solver_cond_block_size;
+    # tuple summing to N) — overrides cond_N's HPIPM remainder rule
+    cond_block_size: tuple | None = static_field(default=None)
     full_cond: bool = static_field(default=False)
     # AS-RTI advanced-step options (reference as_rti_level_t LEVEL_A..D +
     # as_rti_iter + advancement strategy, ocp_nlp_sqp_rti.h:70-77,
@@ -127,6 +137,14 @@ class SqpOpts:
     # fixed-step length (reference nlp_solver_step_length /
     # globalization_fixed_step_length, acados_ocp_options.py)
     step_length: float = 1.0
+    # measure per-phase times INSIDE the solve (reference ocp_nlp_timings
+    # time_lin/time_reg/time_qp_sol/time_glob, ocp_nlp_common.h:410-428)
+    # via ordered host-clock callbacks with data-dependency fences.
+    # Single-instance solves only (ordered callbacks do not vmap); each
+    # boundary costs a host round trip, so this is a diagnostic mode —
+    # the reference pays the same cost unconditionally on CPU where a
+    # clock read is cheap.
+    collect_phase_times: bool = static_field(default=False)
     # predictive in-loop timeout (reference ocp_nlp_sqp.c:436,611-635):
     # before each iteration, elapsed + predicted-next-iteration time is
     # checked against the budget; heuristic in {ZERO, LAST, MAX,
@@ -198,6 +216,9 @@ class SqpStats:
     # else None (reference mem->iterates, ocp_nlp_common.h:452)
     iterates_x: jnp.ndarray = None
     iterates_u: jnp.ndarray = None
+    # (4,) accumulated [time_lin, time_reg, time_qp, time_glob] seconds,
+    # when collect_phase_times (reference ocp_nlp_timings)
+    phase_times: jnp.ndarray = None
 
 
 def _nlp_residuals(form, qp: OcpQp, it: NlpIterate, soft_scaled):
@@ -456,9 +477,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             sol, info = solve_ocp_qp_xcond(qp, qp_opts,
                                            full_cond=True)
         elif opts.cond_N is not None:
-            sol, info = solve_ocp_qp_xcond(qp, qp_opts,
-                                           cond_N=opts.cond_N, warm=warm,
-                                           keep_rows=_keep_rows)
+            sol, info = solve_ocp_qp_xcond(
+                qp, qp_opts, cond_N=opts.cond_N, warm=warm,
+                keep_rows=_keep_rows,
+                cond_block_size=opts.cond_block_size)
         elif opts.qp_solver_name != "RICCATI_IPM":
             from acados_tpu.ocp_qp.registry import get_qp_backend
             sol, info = get_qp_backend(opts.qp_solver_name)(
@@ -498,10 +520,26 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
 
         adaptive_lm = opts.with_adaptive_levenberg_marquardt
 
+        collect_pt = opts.collect_phase_times
+        tdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+        def _pclock(dep):
+            from jax.experimental import io_callback
+            return io_callback(_wall_clock_dep,
+                               jax.ShapeDtypeStruct((), tdt),
+                               jnp.asarray(dep, tdt), ordered=True)
+
+        def _taint(tree, t):
+            z = (t * 0).astype(dtype)
+            return jax.tree.map(lambda v: v + z.astype(v.dtype), tree)
+
         def _iteration(carry):
             (it, k, status, _, qp_tot, stat, aa, hist, gstate,
-             _res_prev, tstate) = carry
+             _res_prev, tstate, ptimes) = carry
             lm_k = _res_prev[4] if adaptive_lm else lm
+            if collect_pt:
+                t_a = _pclock(it.x[0, 0])
+                it = _taint(it, t_a)
             qp = linearize(form, static_rows, data, it, lm_k)
             rs, re, ri, rc = _nlp_residuals(form, qp, it, soft_scaled)
             stat = stat.at[k, 0].set(rs).at[k, 1].set(re) \
@@ -514,11 +552,17 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                soft_scaled)
             unbounded = cost_k <= opts.tol_unbounded
 
+            if collect_pt:
+                t_b = _pclock(rs)
+                qp = _taint(qp, t_b)
             # Hessian regularization before the QP (reference hook:
             # regularize->regularize, ocp_nlp_sqp.c:602); the NLP residuals
             # above use only gradients, so they see the true problem.
             qp_solve = regularize_qp(qp, opts.regularize_method,
                                      opts.reg_epsilon)
+            if collect_pt:
+                t_c = _pclock(qp_solve.Q[0, 0, 0])
+                qp_solve = _taint(qp_solve, t_c)
             if opts.nlp_qp_tol_strategy == "ADAPTIVE_CURRENT_RES_JOINT":
                 qp_opts_k = adaptive_qp_tol(opts, opts.qp_opts, rs, re,
                                             ri, rc)
@@ -535,6 +579,9 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                      qp_opts=qp_opts_k)
             else:
                 sol, info = solve_qp(qp_solve, qp_opts=qp_opts_k)
+            if collect_pt:
+                t_d = _pclock(info.res_stat)
+                sol = _taint(sol, t_d)
             qp_ok = info.status <= 0
             # QP hit its iteration limit but may still be usable; only a
             # NaN QP is fatal (reference: QP failure propagation,
@@ -686,6 +733,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                                     jnp.where(qp_fatal, 4, 1),
                                     jnp.where(small_step, 3, status))))
             done = converged | unbounded | nan | qp_fatal | small_step
+            if collect_pt:
+                t_e = _pclock(it_new.x[0, 0])
+                ptimes = ptimes + jnp.stack([t_b - t_a, t_c - t_b,
+                                             t_d - t_c, t_e - t_d])
             # k advances only when we actually stepped
             k_new = jnp.where(converged, k, k + 1)
             if adaptive_lm:
@@ -704,7 +755,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             else:
                 res_state = (rs, re, ri, rc)
             return (it_new, k_new, new_status, done, qp_tot, stat, aa,
-                    hist, gstate, res_state, tstate)
+                    hist, gstate, res_state, tstate, ptimes)
 
         status0 = jnp.asarray(2, jnp.int32)  # MAXITER unless terminated
         zero_step = jax.tree.map(jnp.zeros_like, init)
@@ -741,7 +792,7 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         if timeout_on:
             def body(carry):
                 (it, k, status, done_, qp_tot, stat, aa, hist, gstate,
-                 res_prev, (t_start, t_prev, pred)) = carry
+                 res_prev, (t_start, t_prev, pred), ptimes) = carry
                 t_now = _clock()
                 iter_time = t_now - t_prev
                 h = opts.timeout_heuristic
@@ -764,14 +815,15 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                 hit = ((k > 0) & ((t_now - t_start) + pred_new
                                   > opts.timeout_max_time))
                 carry2 = (it, k, status, done_, qp_tot, stat, aa, hist,
-                          gstate, res_prev, (t_start, t_now, pred_new))
+                          gstate, res_prev, (t_start, t_now, pred_new),
+                          ptimes)
 
                 def mark_timeout(c):
                     (it_, k_, _st, _dn, qt, st_, aa_, h_, gs_, rp_,
-                     ts_) = c
+                     ts_, pt_) = c
                     return (it_, k_, jnp.asarray(7, jnp.int32),
                             jnp.asarray(True), qt, st_, aa_, h_, gs_,
-                            rp_, ts_)
+                            rp_, ts_, pt_)
 
                 return jax.lax.cond(hit, mark_timeout, _iteration,
                                     carry2)
@@ -788,11 +840,13 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             tstate0 = (t0_, t0_, jnp.zeros((), tdtype))
         else:
             tstate0 = ()
+        ptimes0 = jnp.zeros((4,), tdt)
         carry0 = (init, jnp.asarray(0, jnp.int32), status0,
                   jnp.asarray(False), jnp.asarray(0, jnp.int32), stat0,
-                  aa0, hist0, gstate0, zero4, tstate0)
+                  aa0, hist0, gstate0, zero4, tstate0, ptimes0)
         (it, k, status, done, qp_tot, stat, _aa, hist,
-         _gs, res_last, _ts) = jax.lax.while_loop(cond, body, carry0)
+         _gs, res_last, _ts, ptimes) = jax.lax.while_loop(cond, body,
+                                                          carry0)
         res_last = res_last[:4]
 
         if opts.rti:
@@ -824,7 +878,8 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
                          iterates_x=hist[0] if opts.store_iterates
                          else None,
                          iterates_u=hist[1] if opts.store_iterates
-                         else None)
+                         else None,
+                         phase_times=ptimes if collect_pt else None)
         return it, stats
 
     return jax.jit(solve)

@@ -24,9 +24,20 @@ barrier-dependent factorization).
 Soft rows use the exact prox of the L1+L2 slack penalty in the z-update
 (closed form, below) — the same penalty the IPM eliminates analytically.
 Termination is residual-based inside a `lax.while_loop` (true num_iter
-in the info struct). Accuracy is first-order-typical — use the IPM for
-tight tolerances; ADMM's niche is moderate-accuracy throughput: the
-fixed rho means ONE Riccati factorization serves every iteration.
+in the info struct).
+
+SCOPE (measured, round 4): this backend is a PARITY / ROBUSTNESS
+FALLBACK, not a performance backend. The hypothesized niche — one
+fixed-rho factorization at moderate accuracy — was benchmarked and does
+NOT materialize on this hardware: at B=1024, N=16, nx=8, nc=24 with
+1e-2 tolerances (large-nc, loose-tol — ADMM's best case), ADMM measured
+278 ms vs the Riccati IPM's 16 ms (17x); on the pendulum RTI config the
+gap is ~100x (bench admm_vs_ipm). The reason: the IPM's per-iteration
+factorization cost collapsed once the stage algebra moved off the
+padded MXU tile (ops/smallmm), so amortizing the factorization no
+longer buys anything while ADMM's iteration count stays ~100. Keep for
+API parity with the reference's OSQP/qpDUNES plans and as a fallback
+for QPs where barrier methods struggle.
 """
 from __future__ import annotations
 

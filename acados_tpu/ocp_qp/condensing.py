@@ -336,3 +336,137 @@ def condense_warm(warm: OcpQpSol, N2: int, keep_rows=None) -> OcpQpSol:
         lam_lg=rows(warm.lam_lg, 0.0), lam_ug=rows(warm.lam_ug, 0.0),
         t_lg=rows(warm.t_lg, 1.0), t_ug=rows(warm.t_ug, 1.0),
         sl=rows(warm.sl, 0.0), su=rows(warm.su, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Non-uniform block sizes (HPIPM remainder distribution) via inert padding
+# ---------------------------------------------------------------------------
+
+def hpipm_block_sizes(N: int, N2: int):
+    """HPIPM's block-size rule: distribute the remainder over the FIRST
+    blocks (reference d_part_cond_qp_compute_block_size, used at
+    ocp_qp_partial_condensing.c:172-177): sizes = [M+1]*R + [M]*(N2-R)
+    with M, R = divmod(N, N2)."""
+    M, R = divmod(N, N2)
+    return [M + 1] * R + [M] * (N2 - R)
+
+
+def _pad_maps(N: int, N2: int, sizes=None):
+    """Static index maps for padding ragged blocks to the uniform width
+    Mmax: returns (Mmax, link_src (N2*Mmax,), link_real mask,
+    node_src (N2*Mmax+1,), node_real mask, o2p_node (N+1,),
+    o2p_link (N,)). sizes: explicit per-block sizes (reference
+    qp_solver_cond_block_size); default = HPIPM's remainder rule."""
+    import numpy as np
+
+    bs = list(sizes) if sizes is not None else hpipm_block_sizes(N, N2)
+    assert len(bs) == N2 and sum(bs) == N, (bs, N, N2)
+    Mmax = max(bs)
+    offs = np.concatenate([[0], np.cumsum(bs)])
+    link_src, link_real = [], []
+    node_src, node_real = [], []
+    o2p_node = np.zeros(N + 1, np.int64)
+    o2p_link = np.zeros(N, np.int64)
+    for j in range(N2):
+        for i in range(Mmax):
+            t = j * Mmax + i
+            if i < bs[j]:
+                link_src.append(offs[j] + i)
+                link_real.append(True)
+                node_src.append(offs[j] + i)
+                node_real.append(True)
+                o2p_node[offs[j] + i] = t
+                o2p_link[offs[j] + i] = t
+            else:
+                link_src.append(0)
+                link_real.append(False)
+                node_src.append(0)
+                node_real.append(False)
+    node_src.append(N)
+    node_real.append(True)
+    o2p_node[N] = N2 * Mmax
+    return (Mmax, np.asarray(link_src), np.asarray(link_real),
+            np.asarray(node_src), np.asarray(node_real), o2p_node,
+            o2p_link)
+
+
+def pad_qp_to_blocks(qp: OcpQp, N2: int, block_sizes=None):
+    """Pad an N-stage QP with inert stages so every condensing block has
+    the uniform width Mmax = ceil-ish per HPIPM's block sizes: padding
+    links have identity dynamics (A=I, B=0, b=0) and unit control
+    Hessian (R=I — the padded controls decouple and solve to zero);
+    padding nodes carry zero cost and fully-masked rows. The padded QP's
+    solution restricted to the real indices IS the original QP's
+    solution (the inert stages change nothing).
+
+    Returns (qp_padded, maps) with maps for unpad_sol."""
+    N = qp.dims.N
+    nx, nu = qp.dims.nx, qp.dims.nu
+    dt = qp.q.dtype
+    maps = _pad_maps(N, N2, sizes=block_sizes)
+    Mmax, l_src, l_real, n_src, n_real, _, _ = maps
+    lr = jnp.asarray(l_real)[:, None, None]
+    lrv = jnp.asarray(l_real)[:, None]
+    nr = jnp.asarray(n_real)[:, None, None]
+    nrv = jnp.asarray(n_real)[:, None]
+    ls = jnp.asarray(l_src)
+    ns = jnp.asarray(n_src)
+
+    eye = jnp.eye(nx, dtype=dt)
+    eyeu = jnp.eye(nu, dtype=dt)
+    gl = lambda a: a[ls]
+    gn = lambda a: a[ns]
+    qp_p = OcpQp(
+        Q=jnp.where(nr, gn(qp.Q), 0.0),
+        R=jnp.where(lr, gl(qp.R), eyeu),
+        S=jnp.where(lr, gl(qp.S), 0.0),
+        q=jnp.where(nrv, gn(qp.q), 0.0),
+        r=jnp.where(lrv, gl(qp.r), 0.0),
+        A=jnp.where(lr, gl(qp.A), eye),
+        B=jnp.where(lr, gl(qp.B), 0.0),
+        b=jnp.where(lrv, gl(qp.b), 0.0),
+        C=jnp.where(nr, gn(qp.C), 0.0),
+        D=jnp.where(lr, gl(qp.D), 0.0),
+        lg=jnp.where(nrv, gn(qp.lg), -1.0),
+        ug=jnp.where(nrv, gn(qp.ug), 1.0),
+        mask_l=jnp.where(nrv, gn(qp.mask_l), 0.0),
+        mask_u=jnp.where(nrv, gn(qp.mask_u), 0.0),
+        Zl=jnp.where(nrv, gn(qp.Zl), 0.0),
+        Zu=jnp.where(nrv, gn(qp.Zu), 0.0),
+        zl=jnp.where(nrv, gn(qp.zl), 0.0),
+        zu=jnp.where(nrv, gn(qp.zu), 0.0),
+        soft_mask=jnp.where(nrv, gn(qp.soft_mask), 0.0),
+    )
+    return qp_p, maps
+
+
+def unpad_sol(sol_p: OcpQpSol, maps) -> OcpQpSol:
+    """Restrict a padded-horizon solution to the original indices."""
+    _, _, _, _, _, o2p_node, o2p_link = maps
+    pn = jnp.asarray(o2p_node)
+    pl = jnp.asarray(o2p_link)
+    g_n = lambda a: a[pn]
+    g_l = lambda a: a[pl]
+    return OcpQpSol(x=g_n(sol_p.x), u=g_l(sol_p.u), pi=g_l(sol_p.pi),
+                    lam_lg=g_n(sol_p.lam_lg), lam_ug=g_n(sol_p.lam_ug),
+                    t_lg=g_n(sol_p.t_lg), t_ug=g_n(sol_p.t_ug),
+                    sl=g_n(sol_p.sl), su=g_n(sol_p.su))
+
+
+def pad_warm_to_blocks(warm: OcpQpSol, maps) -> OcpQpSol:
+    """Lift a warm start onto the padded horizon (padding controls zero,
+    padding nodes inherit the block-interior state duals as zeros)."""
+    _, l_src, l_real, n_src, n_real, _, _ = maps
+    ls = jnp.asarray(l_src)
+    ns = jnp.asarray(n_src)
+    lrv = jnp.asarray(l_real)[:, None]
+    nrv = jnp.asarray(n_real)[:, None]
+    return OcpQpSol(
+        x=warm.x[ns], u=jnp.where(lrv, warm.u[ls], 0.0),
+        pi=jnp.where(lrv, warm.pi[ls], 0.0),
+        lam_lg=jnp.where(nrv, warm.lam_lg[ns], 0.0),
+        lam_ug=jnp.where(nrv, warm.lam_ug[ns], 0.0),
+        t_lg=jnp.where(nrv, warm.t_lg[ns], 1.0),
+        t_ug=jnp.where(nrv, warm.t_ug[ns], 1.0),
+        sl=jnp.where(nrv, warm.sl[ns], 0.0),
+        su=jnp.where(nrv, warm.su[ns], 0.0))

@@ -75,6 +75,19 @@ class IpmOpts:
     # step is tiny (nx, nu) algebra, so per-step loop dispatch latency
     # dominates on TPU for small models; unrolling trades compile time
     # for fused stage kernels. 1 = plain scan.
+    stall_max: int = 4
+    # stop after this many consecutive non-improving FULL-ish steps
+    # (alpha > stall_alpha): a chattering active set (borderline
+    # bang-bang instance) bounces between two points at large alpha
+    # without improving and would otherwise burn iter_max iterations —
+    # under a vmapped lockstep batch ONE such instance multiplies the
+    # whole batch's solve time (measured: 1/4096 stalled instance made
+    # the RTI batch 5x slower). Small-alpha iterations are exempt: the
+    # two-sided-barrier treatment of equality rows legitimately crawls
+    # at alpha ~ 1e-2 for many iterations before breaking through (the
+    # non-eliminated-x0 path). The best iterate so far is returned
+    # either way.
+    stall_alpha: float = 0.5
     abs_form: bool = static_field(default=False)
     # HPIPM SPEED_ABS analog (ocp_qp_hpipm.c:147-160 mode dispatch): skip
     # the Mehrotra affine predictor — one Newton solve per iteration
@@ -412,13 +425,13 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
                                   ri / opts.tol_ineq, mu / opts.tol_comp]))
 
     def cond(carry):
-        it, res, mu, best_it, best_err, k, status, done = carry
+        it, res, mu, best_it, best_err, no_imp, k, status, done = carry
         return jnp.logical_and(k < opts.iter_max, jnp.logical_not(done))
 
     def body(carry):
         # res/mu carried from the previous iteration's evaluation — one
         # _residuals per iteration instead of two
-        it, res, mu, best_it, best_err, k, status, _ = carry
+        it, res, mu, best_it, best_err, no_imp, k, status, _ = carry
         weights = _row_weights(qp, it)
         W = weights[0]
         Qb, Rb, Sb = _barrier_hessian(qp, W)
@@ -484,26 +497,39 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
         best_it = jax.tree.map(lambda n, o: jnp.where(improved, n, o),
                                it_new, best_it)
         best_err = jnp.where(improved, err, best_err)
+        no_imp = jnp.where(improved, 0,
+                           jnp.where(alpha > opts.stall_alpha,
+                                     no_imp + 1, no_imp))
         converged = err <= 1.0
         status = jnp.where(nan, 1, jnp.where(converged, 0, status))
-        done = converged | nan | (mu_new < mu_floor)
-        return (it_new, res_new, mu_new, best_it, best_err, k + 1, status,
-                done)
+        done = (converged | nan | (mu_new < mu_floor)
+                | (no_imp >= opts.stall_max))
+        return (it_new, res_new, mu_new, best_it, best_err, no_imp, k + 1,
+                status, done)
 
     init_status = jnp.asarray(2, jnp.int32)  # max_iter unless proven otherwise
     res0, mu0_ = _residuals(qp, it0, x0_fixed)
-    err0 = err_of(*_res_norms(res0), _comp_inf(qp, it0))
+    # best_err starts at +inf, NOT at the init point's error: the
+    # infeasible-start Mehrotra path transiently RAISES the error while
+    # recentering from a warm primal point, and counting the init point
+    # as "best" would trip the stall detector during that plateau (and
+    # return a zero step)
+    err0 = jnp.asarray(jnp.inf, dt)
     carry0 = (it0, res0, mu0_, it0, err0, jnp.asarray(0, jnp.int32),
-              init_status, jnp.asarray(False))
+              jnp.asarray(0, jnp.int32), init_status, jnp.asarray(False))
     if unroll:
         carry = carry0
         for _ in range(opts.iter_max):
             carry = jax.lax.cond(cond(carry), body, lambda c: c, carry)
     else:
         carry = jax.lax.while_loop(cond, body, carry0)
-    it, res, mu, _, best_err, k, status, _ = carry
+    it_last, res, mu, best_it, best_err, _, k, status, _ = carry
     status = jnp.where(best_err <= 1.0, 0, status)
-
+    # return the best iterate: for converged instances it coincides with
+    # the final one; a stalled/oscillating instance returns its best
+    # point instead of wherever the cycle happened to stop
+    it = best_it
+    res, mu = _residuals(qp, it, x0_fixed)
     rs, re, ri = _res_norms(res)
     lam_lg = it.lam_l * qp.mask_l
     lam_ug = it.lam_u * qp.mask_u

@@ -9,7 +9,10 @@ callable (qp: OcpQp, opts, warm=None) -> (OcpQpSol, IpmInfo-like).
 
 Built-ins:
   RICCATI_IPM   the batched Mehrotra IPM (ocp_qp/ipm.py, HPIPM analog)
-  ADMM          structure-exploiting first-order splitting (ocp_qp/admm.py,
+  ADMM          structure-exploiting first-order splitting — parity/
+                robustness fallback; measured 17-100x slower than
+                RICCATI_IPM in every regime benchmarked incl. its
+                hypothesized large-nc/loose-tol niche (ocp_qp/admm.py,
                 OSQP analog)
 Reference backend names map onto these (PARTIAL_CONDENSING_HPIPM ->
 RICCATI_IPM, PARTIAL_CONDENSING_OSQP -> ADMM, ...) so reference configs

@@ -21,26 +21,24 @@ from acados_tpu.ocp_qp.ipm import IpmOpts, solve_ocp_qp
 
 
 def resolve_cond_N(N: int, cond_N) -> int | None:
-    """Pick the largest divisor of N that is <= the requested cond_N.
+    """Clamp the requested partial-condensing horizon to [1, N-1].
 
-    HPIPM supports ragged blocks (d_part_cond_qp_compute_block_size,
-    ocp_qp_partial_condensing.c:172-177); static XLA shapes want uniform
-    blocks, so the nearest divisor is used instead.
-    """
+    Non-divisor cond_N is supported via HPIPM's remainder rule
+    (d_part_cond_qp_compute_block_size, ocp_qp_partial_condensing.c:
+    172-177): ragged blocks are padded to the uniform maximum width with
+    inert stages (condensing.pad_qp_to_blocks) so XLA keeps static
+    shapes."""
     if cond_N is None or cond_N >= N:
         return None
-    cond_N = max(int(cond_N), 1)
-    for n2 in range(cond_N, 0, -1):
-        if N % n2 == 0:
-            return n2
-    return None
+    return max(int(cond_N), 1)
 
 
-@partial(jax.jit, static_argnames=("cond_N", "full_cond", "keep_rows"))
+@partial(jax.jit, static_argnames=("cond_N", "full_cond", "keep_rows",
+                                   "cond_block_size"))
 def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
                        full_cond: bool = False,
                        warm: OcpQpSol | None = None, backend=None,
-                       keep_rows=None):
+                       keep_rows=None, cond_block_size=None):
     """Solve an OcpQp through the condensing front-end.
 
     cond_N: partial-condensing horizon (must divide N; use resolve_cond_N);
@@ -59,8 +57,28 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
         dense, cache = full_condense(qp)
         sol_d, info = solve_dense_qp(dense, opts)
         return full_expand(qp, cache, sol_d), info
+    if cond_block_size is not None:
+        # explicit per-block sizes (reference qp_solver_cond_block_size)
+        cond_N = len(cond_block_size)
+        if len(set(cond_block_size)) == 1 \
+                and cond_N * cond_block_size[0] == qp.dims.N:
+            cond_block_size = None  # uniform -> plain path below
     if cond_N is None or cond_N >= qp.dims.N:
         return backend(qp, opts, warm=warm)
+    if cond_block_size is not None or qp.dims.N % cond_N != 0:
+        # ragged blocks (HPIPM remainder rule): pad to uniform width
+        # with inert stages, condense uniformly, un-pad the solution
+        from acados_tpu.ocp_qp.condensing import (pad_qp_to_blocks,
+                                                  pad_warm_to_blocks,
+                                                  unpad_sol)
+        qp_p, maps = pad_qp_to_blocks(qp, cond_N,
+                                      block_sizes=cond_block_size)
+        warm_p = None if warm is None else pad_warm_to_blocks(warm, maps)
+        qp_c, cache = partial_condense(qp_p, cond_N)
+        warm_c = None if warm_p is None else condense_warm(warm_p, cond_N)
+        sol_c, info = backend(qp_c, opts, warm=warm_c)
+        sol_p = partial_expand(qp_p, cache, sol_c)
+        return unpad_sol(sol_p, maps), info
     qp_c, cache = partial_condense(qp, cond_N, keep_rows=keep_rows)
     warm_c = None if warm is None else condense_warm(warm, cond_N,
                                                     keep_rows=keep_rows)

@@ -57,3 +57,4 @@ def make_erk_step(f, num_stages: int = 4, num_steps: int = 1):
         return x_out
 
     return jax.jit(step)
+

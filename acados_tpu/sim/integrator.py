@@ -120,7 +120,9 @@ def make_step_fn(f_expl=None, f_impl=None, nx=None, nz=0,
 
 
 def make_step_jac_fn(f_expl=None, f_impl=None, nx=None, nz=0,
-                     opts: SimOpts = None, jac_reuse: bool = False):
+                     opts: SimOpts = None, jac_reuse: bool = False,
+                     nu=None):
+    # nu: accepted for API symmetry with make_step_fn (unused)
     """Build step_jac(x, u, p, t0, dt) -> (x_next, A, B) — the fused
     step + forward-sensitivity evaluation the SQP linearization uses
     (reference: sim call packing S_forw into BAbt,
@@ -130,6 +132,13 @@ def make_step_jac_fn(f_expl=None, f_impl=None, nx=None, nz=0,
     (the caller then falls back to `jax.jacfwd` of the plain step).
     """
     opts = opts or SimOpts()
+    # NOTE: an explicit forward-VDE fast path for ERK (hand-written
+    # sensitivity recursion through ops.smallmm) was built and measured
+    # in round 4: it is SLOWER than jax.jacfwd of the step (XLA fuses
+    # the outer-jacfwd program better than per-stage model AD), so ERK
+    # keeps the jacfwd fallback. IRK keeps its fused path below — there
+    # the win comes from sharing ONE stage factorization across all
+    # sensitivity columns, which jacfwd cannot do.
     if opts.integrator_type in ("IRK", "LIFTED_IRK"):
         if f_impl is not None:
             fi = normalize_implicit_dynamics(f_impl)

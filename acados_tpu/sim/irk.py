@@ -113,6 +113,86 @@ def make_irk_step(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
     return jax.jit(step)
 
 
+def make_irk_stage_points(f_impl, nx: int, nz: int = 0,
+                          num_stages: int = 3, num_steps: int = 1,
+                          newton_iter: int = 3,
+                          collocation: str = "GAUSS_LEGENDRE"):
+    """Collocation stage values for INTEGRATOR cost discretization.
+
+    Returns (points, weights): points(x, u, p, t0, dt) ->
+    (Xs (m*ns, nx), Zs (m*ns, nz), Ts (m*ns,)) — the stage states,
+    algebraic stage values and stage times over all substeps — and the
+    quadrature weights (b/num_steps tiled, summing to 1). The reference
+    supports cost_discretization=INTEGRATOR exactly for IRK
+    (acados_ocp_options.py:2285 "only supported for IRK integrator"):
+    the Lagrange cost is evaluated at these collocation points with the
+    tableau's quadrature weights. Differentiable through the stage solve
+    via `custom_root` (implicit function theorem), so the cost module's
+    Gauss-Newton Jacobians see the exact stage sensitivities.
+    """
+    import numpy as np
+
+    if collocation.upper() in ("GAUSS_LEGENDRE", "GAUSS"):
+        A, b, c = gauss_legendre_tableau(num_stages)
+    elif collocation.upper() in ("RADAU_IIA", "RADAU"):
+        A, b, c = radau_iia_tableau(num_stages)
+    else:
+        raise ValueError(f"unknown collocation {collocation}")
+    ns = num_stages
+    nw = ns * (nx + nz)
+    weights = np.tile(np.asarray(b, np.float64) / num_steps, num_steps)
+
+    def points(x, u, p, t0, dt):
+        h = dt / num_steps
+        A_ = jnp.asarray(A, x.dtype)
+        b_ = jnp.asarray(b, x.dtype)
+        c_ = c.astype(x.dtype)
+
+        def residual_fn(x0, t):
+            def res(w):
+                K = w[: ns * nx].reshape(ns, nx)
+                Z = w[ns * nx:].reshape(ns, nz)
+                xi = x0[None, :] + h * (A_ @ K)
+                r = []
+                for i in range(ns):
+                    r.append(f_impl(K[i], xi[i], Z[i], u, p,
+                                    t + c_[i] * h))
+                return jnp.concatenate(r)
+            return res
+
+        def newton_solve(res, w0):
+            def it(w, _):
+                J = jax.jacfwd(res)(w)
+                return w - linsolve(J, res(w)), None
+            w, _ = jax.lax.scan(it, w0, None, length=newton_iter)
+            return w
+
+        def tangent_solve(g, y):
+            J = jax.jacfwd(g)(jnp.zeros_like(y))
+            return linsolve(J, y)
+
+        def substep(carry, i):
+            x_k, w_prev = carry
+            t = t0 + i * h
+            w = jax.lax.custom_root(residual_fn(x_k, t), w_prev,
+                                    newton_solve, tangent_solve)
+            K = w[: ns * nx].reshape(ns, nx)
+            Z = w[ns * nx:].reshape(ns, nz)
+            xi = x_k[None, :] + h * (A_ @ K)
+            ts = t + c_ * h
+            x_next = x_k + h * (b_ @ K)
+            return (x_next, w), (xi, Z, ts)
+
+        w0 = jnp.zeros((nw,), x.dtype)
+        (_, _), (Xs, Zs, Ts) = jax.lax.scan(
+            substep, (x, w0), jnp.arange(num_steps))
+        nq = num_steps * ns
+        return (Xs.reshape(nq, nx), Zs.reshape(nq, nz),
+                Ts.reshape(nq))
+
+    return points, weights
+
+
 def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
                       num_steps: int = 1, newton_iter: int = 3,
                       collocation: str = "GAUSS_LEGENDRE",

@@ -101,13 +101,15 @@ class TestPartialCondensing:
                                    float(c_cond2 - c_cond), rtol=1e-9)
 
     def test_resolve_cond_N(self):
+        # r4: non-divisor cond_N is kept as-is (HPIPM remainder rule via
+        # inert-stage padding); only clamping remains
         assert resolve_cond_N(20, 5) == 5
-        assert resolve_cond_N(20, 6) == 5
-        assert resolve_cond_N(20, 3) == 2
+        assert resolve_cond_N(20, 6) == 6
+        assert resolve_cond_N(20, 3) == 3
         assert resolve_cond_N(20, 1) == 1
         assert resolve_cond_N(20, None) is None
         assert resolve_cond_N(20, 20) is None
-        assert resolve_cond_N(7, 3) == 1
+        assert resolve_cond_N(7, 3) == 3
 
 
 class TestFullCondensing:
@@ -235,3 +237,88 @@ class TestKeepRowsPruning:
         qp_c_kept, _ = partial_condense(qp, 2, keep_rows=(4, 1, 4))
         assert qp_c_full.lg.shape[-1] == 32   # M * nc_tot (nc_tot = 8)
         assert qp_c_kept.lg.shape[-1] == 7    # M*npth + (n0 - npth)
+
+
+class TestRaggedBlocks:
+    """Non-divisor cond_N (VERDICT r4 item 8): HPIPM distributes the
+    remainder over the first blocks (d_part_cond_qp_compute_block_size,
+    ocp_qp_partial_condensing.c:172-177); here ragged blocks are padded
+    to the uniform width with inert stages and the padded solution is
+    restricted back."""
+
+    def test_block_sizes_match_hpipm_rule(self):
+        from acados_tpu.ocp_qp.condensing import hpipm_block_sizes
+
+        assert hpipm_block_sizes(127, 10) == [13] * 7 + [12] * 3
+        assert hpipm_block_sizes(20, 4) == [5, 5, 5, 5]
+        assert hpipm_block_sizes(7, 3) == [3, 2, 2]
+
+    @pytest.mark.parametrize("N,N2", [(127, 10), (7, 3), (11, 4)])
+    def test_ragged_parity_vs_plain(self, N, N2):
+        from acados_tpu.ocp_qp.ipm import IpmOpts
+        from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
+
+        qp = random_ocp_qp(jax.random.PRNGKey(N * 13 + N2), N=N, nx=3,
+                           nu=2, nc=2)
+        opts = IpmOpts(iter_max=60)
+        sol_ref, info_ref = solve_ocp_qp_xcond(qp, opts)
+        assert int(info_ref.status) == 0
+        sol_c, info_c = solve_ocp_qp_xcond(qp, opts, cond_N=N2)
+        assert int(info_c.status) == 0
+        np.testing.assert_allclose(np.asarray(sol_c.x),
+                                   np.asarray(sol_ref.x), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol_c.u),
+                                   np.asarray(sol_ref.u), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol_c.pi),
+                                   np.asarray(sol_ref.pi), atol=2e-5)
+        lam_ref = np.asarray(sol_ref.lam_lg - sol_ref.lam_ug)
+        lam_c = np.asarray(sol_c.lam_lg - sol_c.lam_ug)
+        np.testing.assert_allclose(lam_c, lam_ref, atol=2e-5)
+
+    def test_ragged_soft_rows(self):
+        from acados_tpu.ocp_qp.ipm import IpmOpts
+        from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
+
+        qp = random_ocp_qp(jax.random.PRNGKey(5), N=11, nx=3, nu=2,
+                           nc=2, soft=True)
+        opts = IpmOpts(iter_max=60)
+        sol_ref, info_ref = solve_ocp_qp_xcond(qp, opts)
+        sol_c, info_c = solve_ocp_qp_xcond(qp, opts, cond_N=4)
+        assert int(info_ref.status) == 0 and int(info_c.status) == 0
+        np.testing.assert_allclose(np.asarray(sol_c.x),
+                                   np.asarray(sol_ref.x), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(sol_c.sl),
+                                   np.asarray(sol_ref.sl), atol=5e-6)
+
+    def test_explicit_cond_block_size(self):
+        """Reference qp_solver_cond_block_size: explicit per-block sizes
+        (ocp_qp_partial_condensing.c per-block API)."""
+        from acados_tpu.ocp_qp.ipm import IpmOpts
+        from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
+
+        qp = random_ocp_qp(jax.random.PRNGKey(3), N=11, nx=3, nu=2, nc=2)
+        o = IpmOpts(iter_max=60)
+        s_ref, i_ref = solve_ocp_qp_xcond(qp, o)
+        s_c, i_c = solve_ocp_qp_xcond(qp, o, cond_block_size=(4, 4, 3))
+        assert int(i_ref.status) == 0 and int(i_c.status) == 0
+        np.testing.assert_allclose(np.asarray(s_c.x),
+                                   np.asarray(s_ref.x), atol=5e-6)
+        np.testing.assert_allclose(np.asarray(s_c.u),
+                                   np.asarray(s_ref.u), atol=5e-6)
+
+    def test_cond_block_size_interface(self):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(N=20, dtype="float64",
+                                nlp_solver_type="SQP")
+        ocp.solver_options.qp_solver_cond_block_size = [6, 6, 5, 3]
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+
+        ocp2 = make_pendulum_ocp(N=20, dtype="float64",
+                                 nlp_solver_type="SQP")
+        s2 = AcadosOcpSolver(ocp2)
+        assert s2.solve() == 0
+        np.testing.assert_allclose(np.asarray(s.get(0, "u")),
+                                   np.asarray(s2.get(0, "u")), atol=1e-5)

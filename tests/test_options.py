@@ -280,3 +280,33 @@ class TestOptionsTail:
         from acados_tpu.interface.solver import _sqp_opts_from
         im = _sqp_opts_from(ocp).qp_opts.iter_max
         assert im == {"BALANCE": 50, "SPEED": 15, "ROBUST": 100}[mode]
+
+
+class TestPhaseTimes:
+    def test_collect_phase_times_measured_in_solve(self):
+        """collect_phase_times: per-phase times measured INSIDE the solve
+        (reference ocp_nlp_timings, ocp_nlp_common.h:410-428) — VERDICT
+        r3 item 6. On a warm-compiled solve the four phases must cover
+        the bulk of time_tot (the remainder is while-loop bookkeeping +
+        the callback round trips themselves)."""
+        import numpy as np
+
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(N=20, dtype="float64",
+                                nlp_solver_type="SQP")
+        ocp.solver_options.collect_phase_times = True
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        s.reset()
+        assert s.solve() == 0   # warm-compiled timing
+        tot = s.get_stats("time_tot")
+        parts = [s.get_stats(k) for k in
+                 ("time_lin", "time_reg", "time_qp", "time_glob")]
+        assert all(p > 0.0 for p in parts), parts
+        cover = sum(parts) / tot
+        assert 0.5 < cover <= 1.05, (cover, parts, tot)
+        # the measured split must be per-iteration accumulated (10 SQP
+        # iterations here), not a single-phase estimate
+        assert s.get_stats("sqp_iter") >= 5
