@@ -236,6 +236,51 @@ def bench_pendulum_rti(B=4096, N=20, with_phases=True):
     return res
 
 
+def bench_device_loop(B=4096, N=20, S=8):
+    """Headline companion: the RTI steady-state loop CHAINED ON DEVICE
+    (lax.scan of S solver calls in one program), the shape a deployed
+    RL / scenario-MPC pipeline runs. The per-call headline includes a
+    measured ~2 ms/call host-dispatch floor of this dev setup's axon
+    tunnel (a trivial jitted identity costs the same — see R4 notes);
+    chaining amortizes it and reports the device-rate the chip actually
+    sustains."""
+    import jax
+    import jax.numpy as jnp
+
+    from acados_tpu.interface.solver import _sqp_opts_from
+    from acados_tpu.ocp_nlp.sqp import make_sqp_solver
+    from acados_tpu.models.pendulum import make_pendulum_ocp
+
+    solve_batch, data, init, ocp, form, opts = _build_rti(
+        make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B, jnp.float32,
+        N=N, dtype="float32", nlp_solver_type="SQP_RTI")
+    it, _ = _steady_state_rti(solve_batch, data, init)
+    solve1 = make_sqp_solver(form, opts)
+
+    def chain(d, i):
+        def body(carry, _):
+            it2, stats = jax.vmap(solve1)(d, carry)
+            return it2, (stats.res_stat, stats.res_eq, stats.res_ineq,
+                         stats.res_comp, stats.status)
+        return jax.lax.scan(body, i, None, length=S)
+
+    f = jax.jit(chain)
+    dt, (_it2, (rs, re, ri, rc, stt)) = _time(f, data, it, reps=5)
+    per = dt / S
+    so = ocp.solver_options
+
+    class _St:
+        res_stat, res_eq, res_ineq, res_comp = rs[-1], re[-1], ri[-1], rc[-1]
+
+    res = dict(solves_per_s=round(B / per, 1), per_solve_ms=round(
+        per * 1e3, 3), batch=B, chained_calls=S,
+        status_ok=int(np.sum(np.asarray(stt[-1]) == 0)))
+    res.update(_residual_fields(_St, dict(
+        tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
+        tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp)))
+    return res
+
+
 def bench_pendulum_sqp(B=4096, N=20):
     """Cold SQP-to-tolerance throughput (full convergence, not RTI)."""
     import jax.numpy as jnp
@@ -410,6 +455,8 @@ def main():
     }
     out.update(head)
     record("headline", dict(out))
+    record("device_loop_rti", bench_device_loop(B=64 if smoke else 4096,
+                                                S=2 if smoke else 8))
     if not quick:
         record("pendulum_sqp_to_tol", bench_pendulum_sqp())
         record("chain_mass_rti_nx39", bench_chain_rti())
@@ -421,6 +468,9 @@ def main():
                 out[k] = v
     # repeat the headline as the LAST key so both head- and tail-truncated
     # captures retain it
+    for k, v in entries.items():
+        if k not in ("headline",) and k not in out:
+            out[k] = v
     out["headline_solves_per_s"] = headline
     with open("BENCH_out.json", "w") as f:
         json.dump(out, f, indent=1)
