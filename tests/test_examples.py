@@ -17,6 +17,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
     "differentiable_mpc.py",
     "batched_scenario_mpc.py",
     "dae_constrained_ocp.py",
+    "on_device_mpc_loop.py",
 ])
 def test_example_runs(script):
     subprocess.run([sys.executable, script], cwd=EXAMPLES, check=True,
