@@ -418,6 +418,12 @@ class AcadosOcpOptions:
     use_constraint_hessian_in_feas_qp: bool = False
     search_direction_mode: str = "NOMINAL_QP"
     allow_direction_mode_switch_to_nominal: bool = True
+    # WIRED: developer debug checks (reference
+    # ACADOS_DEVELOPER_DEBUG_CHECKS, CMakeLists.txt:81): host-side data /
+    # iterate validation before each solve (finite values, bound
+    # ordering, W symmetry, multiplier signs) — also enabled globally by
+    # the env var ACADOS_TPU_DEBUG_CHECKS=1. See utils/debug_checks.py.
+    with_debug_checks: bool = False
     # TPU-specific
     dtype: str = "float32"
 

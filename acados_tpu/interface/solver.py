@@ -392,6 +392,12 @@ class AcadosOcpSolver:
         if self._rti_phase in (1, 2):
             return self._solve_rti_phase()
         self._maybe_default_init()
+        from acados_tpu.utils.debug_checks import (check_iterate,
+                                                   check_nlp_data,
+                                                   debug_checks_enabled)
+        if debug_checks_enabled(self.acados_ocp.solver_options):
+            check_nlp_data(self._data)
+            check_iterate(self._iterate)
         t0 = time.perf_counter()
         it, stats = self._solve_fn(data_to_jax(self._data, self.dtype),
                                    self._iterate_jax())

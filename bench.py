@@ -335,6 +335,29 @@ def bench_chain_rti(n_mass=8, B=256, N=40, with_phases=True):
 _LONGH_TOLS = dict(tol_stat=1e-1, tol_eq=1e-4)
 
 
+# f32 steady-state tolerances for the quadrotor (nx=9, soft velocity
+# bounds): same dtype-floor rationale as the chain entry
+_QUAD_TOLS = dict(tol_stat=5e-3, tol_eq=1e-4)
+
+
+def bench_quadrotor_rti(B=1024, N=20):
+    """BASELINE.json breadth config: quadrotor position NMPC (nx=9,
+    nu=4, ERK, soft state bounds) batched RTI at its steady state."""
+    import jax.numpy as jnp
+
+    from acados_tpu.models.quadrotor import make_quadrotor_ocp
+
+    solve_batch, data, init, ocp, form, opts = _build_rti(
+        make_quadrotor_ocp, np.zeros(9), 0.05, B, jnp.float32,
+        N=N, dtype="float32")
+    it, stats = _steady_state_rti(solve_batch, data, init, warm_reps=20)
+    dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+    res = dict(solves_per_s=round(B / dt_s, 1), batch=B, nx=9,
+               status_ok=int(np.sum(np.asarray(st2.status) == 0)))
+    res.update(_residual_fields(st2, _QUAD_TOLS))
+    return res
+
+
 def bench_long_horizon_rti(N=128, B=1024):
     """Long-horizon stress: plain sequential Riccati vs partial
     condensing (cond_N) vs the log-depth parallel-in-time Riccati."""
@@ -460,6 +483,7 @@ def main():
     if not quick:
         record("pendulum_sqp_to_tol", bench_pendulum_sqp())
         record("chain_mass_rti_nx39", bench_chain_rti())
+        record("quadrotor_rti_nx9", bench_quadrotor_rti())
         record("long_horizon_rti_N128", bench_long_horizon_rti())
         record("latency_B8_N128", bench_latency(N=128, B=8))
         record("admm_vs_ipm", bench_admm_backend())

@@ -297,3 +297,46 @@ class TestControlHorizon:
         assert isinstance(out, AcadosOcp)
         with pytest.raises(ValueError):
             create_ocp_with_control_horizon(make_ocp(N=10), Nc=11)
+
+
+class TestDebugChecks:
+    """Developer debug checks (reference ACADOS_DEVELOPER_DEBUG_CHECKS,
+    CMakeLists.txt:81): host-side data validation before each solve."""
+
+    def _solver(self):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+
+        ocp = make_pendulum_ocp(N=10, dtype="float64",
+                                nlp_solver_type="SQP")
+        ocp.solver_options.with_debug_checks = True
+        return AcadosOcpSolver(ocp)
+
+    def test_clean_problem_passes(self):
+        s = self._solver()
+        assert s.solve() == 0
+
+    def test_nan_in_yref_caught(self):
+        import numpy as np
+        import pytest
+
+        from acados_tpu.utils.debug_checks import AcadosDebugCheckError
+
+        s = self._solver()
+        yref = np.asarray(s._data["yref"]).copy()
+        yref[2, 0] = np.nan
+        s._data["yref"] = yref
+        with pytest.raises(AcadosDebugCheckError, match="yref"):
+            s.solve()
+
+    def test_empty_box_caught(self):
+        import numpy as np
+        import pytest
+
+        from acados_tpu.utils.debug_checks import AcadosDebugCheckError
+
+        s = self._solver()
+        s.set(0, "lbx", np.array([1.0, 0.0, 0.0, 0.0]))
+        s.set(0, "ubx", np.array([-1.0, 0.0, 0.0, 0.0]))
+        with pytest.raises(AcadosDebugCheckError, match="lb_0 > ub_0"):
+            s.solve()
