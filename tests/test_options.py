@@ -310,3 +310,57 @@ class TestPhaseTimes:
         # the measured split must be per-iteration accumulated (10 SQP
         # iterations here), not a single-phase estimate
         assert s.get_stats("sqp_iter") >= 5
+
+
+class TestOptionsTailWiring:
+    """Round-4 options tail: the WIRED fields change solver behavior."""
+
+    def _ocp(self):
+        from acados_tpu.models.pendulum import make_pendulum_ocp
+        return make_pendulum_ocp(N=10, dtype="float64",
+                                 nlp_solver_type="SQP")
+
+    def test_qp_solver_tol_fields(self):
+        from acados_tpu.interface.solver import _sqp_opts_from
+        ocp = self._ocp()
+        ocp.solver_options.qp_solver_tol_stat = 3e-7
+        ocp.solver_options.qp_solver_tol_comp = 5e-9
+        o = _sqp_opts_from(ocp)
+        assert o.qp_opts.tol_stat == 3e-7
+        assert o.qp_opts.tol_comp == 5e-9
+        # unset fields keep the derived qp_tol
+        assert o.qp_opts.tol_eq == o.qp_opts.tol_ineq
+
+    def test_tau_min_maps_to_mu_min(self):
+        from acados_tpu.interface.solver import _sqp_opts_from
+        ocp = self._ocp()
+        ocp.solver_options.tau_min = 1e-7
+        assert _sqp_opts_from(ocp).qp_opts.mu_min == 1e-7
+
+    def test_aliases(self):
+        from acados_tpu.interface.solver import _sqp_opts_from
+        ocp = self._ocp()
+        ocp.solver_options.globalization_fixed_step_length = 0.7
+        ocp.solver_options.nlp_solver_tol_min_step_norm = 3e-11
+        ocp.solver_options.nlp_solver_warm_start_first_qp_from_nlp = True
+        o = _sqp_opts_from(ocp)
+        assert o.step_length == 0.7
+        assert o.tol_min_step_norm == 3e-11
+        assert o.warm_start_first_qp_from_nlp
+
+    def test_newton_tol_refused(self):
+        import pytest
+        from acados_tpu.interface.solver import _sqp_opts_from
+        ocp = self._ocp()
+        ocp.solver_options.sim_method_newton_tol = 1e-8
+        with pytest.raises(NotImplementedError, match="newton_tol"):
+            _sqp_opts_from(ocp)
+
+    def test_print_level_prints_table(self, capsys):
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        ocp = self._ocp()
+        ocp.solver_options.print_level = 1
+        s = AcadosOcpSolver(ocp)
+        assert s.solve() == 0
+        outp = capsys.readouterr().out
+        assert "res_stat" in outp or "iter" in outp.lower()
