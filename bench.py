@@ -358,6 +358,28 @@ def bench_quadrotor_rti(B=1024, N=20):
     return res
 
 
+def bench_race_car_rti(B=1024, N=30):
+    """BASELINE.json breadth config: race car (nx=6, nu=2, nonlinear
+    track/acceleration h-constraints, soft rows) batched RTI."""
+    import jax.numpy as jnp
+
+    from acados_tpu.models.race_car import make_race_car_ocp
+
+    # operating point at the track start (s ~ 0, on the centerline):
+    # the model's nominal x0 = -2 m sits outside the curvature profile's
+    # domain and the RTI fixed point there carries an O(1e-2) dynamics
+    # gap — not a meaningful steady state to certify
+    solve_batch, data, init, ocp, form, opts = _build_rti(
+        make_race_car_ocp, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0.01, B,
+        jnp.float32, N=N, Tf=0.6, dtype="float32")
+    it, stats = _steady_state_rti(solve_batch, data, init, warm_reps=20)
+    dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+    res = dict(solves_per_s=round(B / dt_s, 1), batch=B, nx=6,
+               status_ok=int(np.sum(np.asarray(st2.status) == 0)))
+    res.update(_residual_fields(st2, dict(tol_stat=5e-3, tol_eq=1e-4)))
+    return res
+
+
 def bench_long_horizon_rti(N=128, B=1024):
     """Long-horizon stress: plain sequential Riccati vs partial
     condensing (cond_N) vs the log-depth parallel-in-time Riccati."""
@@ -484,6 +506,7 @@ def main():
         record("pendulum_sqp_to_tol", bench_pendulum_sqp())
         record("chain_mass_rti_nx39", bench_chain_rti())
         record("quadrotor_rti_nx9", bench_quadrotor_rti())
+        record("race_car_rti_nx6", bench_race_car_rti())
         record("long_horizon_rti_N128", bench_long_horizon_rti())
         record("latency_B8_N128", bench_latency(N=128, B=8))
         record("admm_vs_ipm", bench_admm_backend())
