@@ -134,5 +134,11 @@ def make_chain_mass_ocp(n_mass=5, N=40, Ts=0.2, with_wall=True,
     # by the tests/bench, which is the honest accuracy gate
     ocp.solver_options.sim_method_jac_reuse = True
     ocp.solver_options.nlp_solver_type = "SQP_RTI"
+    # dual warm start of each RTI QP at the NLP multipliers: with the
+    # auto complementarity cap (IpmOpts.warm_comp_cap) the steady-state
+    # QP converges in 2 IPM iterations (batch max 2) instead of 7-8 —
+    # the chain has no bang-bang chattering instances, so the lockstep
+    # hazard that keeps this off for the pendulum does not apply
+    ocp.solver_options.nlp_solver_warm_start_first_qp_from_nlp = True
     ocp.solver_options.dtype = dtype
     return ocp, xrest
