@@ -142,13 +142,16 @@ def make_step_jac_fn(f_expl=None, f_impl=None, nx=None, nz=0,
     if opts.integrator_type in ("IRK", "LIFTED_IRK"):
         if f_impl is not None:
             fi = normalize_implicit_dynamics(f_impl)
+            explicit_ode = False
         else:
             fi = implicit_from_explicit(normalize_dynamics(f_expl))
+            explicit_ode = True
         from acados_tpu.sim.irk import make_irk_step_jac
         return make_irk_step_jac(
             fi, nx=nx, nz=nz, num_stages=opts.num_stages,
             num_steps=opts.num_steps, newton_iter=opts.newton_iter,
-            collocation=opts.collocation_type, jac_reuse=jac_reuse)
+            collocation=opts.collocation_type, jac_reuse=jac_reuse,
+            explicit_ode=explicit_ode)
     return None
 
 

@@ -196,7 +196,9 @@ def make_irk_stage_points(f_impl, nx: int, nz: int = 0,
 def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
                       num_steps: int = 1, newton_iter: int = 3,
                       collocation: str = "GAUSS_LEGENDRE",
-                      jac_reuse: bool = False):
+                      jac_reuse: bool = False,
+                      kron_path: bool | None = None,
+                      explicit_ode: bool = False):
     """Build an IRK step that also returns the step Jacobians (A, B).
 
     This is the forward-VDE analog of the reference's in-integrator
@@ -212,6 +214,22 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
 
     jac_reuse mirrors the reference sim opt `jac_reuse` (sim_common.h:139):
     True freezes the Newton Jacobian at the predictor point (1 build/step).
+
+    kron_path (None = auto: ns == 2, nz == 0, jac_reuse): exploit the
+    Kronecker structure of the frozen stage Jacobian. With one ODE
+    Jacobian Jf per substep, J = I (x) I - h A (x) Jf; for a 2-stage
+    tableau all four nx-blocks of J are polynomials in Jf and therefore
+    COMMUTE, so J^-1 = blockdiag(D^-1, D^-1) @ adj(J) with the scalar-
+    polynomial determinant D = I - h tr(A) Jf + h^2 det(A) Jf^2 — ONE
+    (nx, nx) inverse instead of the (2nx, 2nx) one (the chain model's
+    (10240, 78, 78) Pallas inverse at ~26 ms becomes a (10240, 39, 39)
+    at ~7 ms + a few matmuls). Jf is the mean of the two stage-point
+    Jacobians (which the exact sensitivity right-hand sides need
+    anyway), so the approximation error vs the frozen-J path is
+    O(h |Jf(xi_1) - Jf(xi_2)|) — the same order jac_reuse itself
+    accepts. The reference counterpart is the staged IRK factorization
+    (sim_irk_integrator.c:1545-1629), which factors the full stage
+    system; the eigen/determinant split is the TPU-shaped variant.
 
     Returns step_jac(x, u, p, t0, dt) -> (x_next, A, B) with
     A = dx_next/dx (nx, nx), B = dx_next/du (nx, nu). When nz > 0 the
@@ -236,6 +254,17 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
         others = _np.delete(_np.asarray(c_t), j)
         zw0[j] = (_np.prod((0.0 - others) / (c_t[j] - others))
                   if ns > 1 else 1.0)
+    if kron_path is None:
+        kron_path = (ns == 2 and nz == 0 and jac_reuse and explicit_ode)
+    if kron_path and (ns != 2 or nz != 0):
+        raise ValueError("kron_path requires num_stages == 2 and nz == 0")
+    # the Kronecker split assumes d f_impl / d xdot == I (an
+    # explicit-wrapped ODE); a mass-matrix model must use the generic
+    # stage factorization
+    if kron_path and not explicit_ode:
+        raise ValueError("kron_path requires an explicit ODE model")
+    _trA = float(_np.trace(_np.asarray(A_t)))
+    _detA = float(_np.linalg.det(_np.asarray(A_t)))
 
     def step_jac(x, u, p, t0, dt):
         h = dt / num_steps
@@ -296,13 +325,79 @@ def make_irk_step_jac(f_impl, nx: int, nz: int = 0, num_stages: int = 3,
             return (x_next, A_sub @ Sx, A_sub @ Su + B_sub, w, z0,
                     Jz), None
 
+        def substep_kron(carry, i):
+            # 2-stage frozen-Jacobian path: J = I(x)I - hA(x)Jbar has
+            # commuting nx-blocks -> one (nx, nx) inverse of the block
+            # determinant D serves Newton AND all sensitivity columns
+            # (see docstring; reference sim_irk_integrator.c:1545-1629).
+            x_k, Sx, Su, w, z0, Jz = carry
+            t = t0 + i * h
+            ti = t + c_ * h
+            ze = jnp.zeros((nz,), x.dtype)
+            a11, a12 = float(A_t[0][0]), float(A_t[0][1])
+            a21, a22 = float(A_t[1][0]), float(A_t[1][1])
+
+            def stage_jacs(w_at):
+                K = w_at.reshape(ns, nx)
+                xi = x_k[None, :] + h * (A_ @ K)
+                Fx = jnp.stack([
+                    jax.jacfwd(lambda xv, s=s: f_impl(
+                        K[s], xv, ze, u, p, ti[s]))(xi[s])
+                    for s in range(ns)])
+                return Fx, xi, K
+
+            # Jbar from the predictor stage points (jac_reuse semantics:
+            # the Newton preconditioner is frozen at the carried w)
+            Fx_p, _, _ = stage_jacs(w)
+            hJ = -(h * 0.5) * (Fx_p[0] + Fx_p[1])   # h * mean ODE Jacobian
+            eye_ = jnp.eye(nx, dtype=x.dtype)
+            D = eye_ - _trA * hJ + _detA * (hJ @ hJ)
+            Di = inv(D)
+
+            def jinv_apply(r1, r2):
+                g1 = hJ @ r1
+                g2 = hJ @ r2
+                v1 = r1 - a22 * g1 + a12 * g2
+                v2 = r2 - a11 * g2 + a21 * g1
+                return Di @ v1, Di @ v2
+
+            def newton_body(wc, _):
+                K = wc.reshape(ns, nx)
+                xi = x_k[None, :] + h * (A_ @ K)
+                r = [f_impl(K[s], xi[s], ze, u, p, ti[s])
+                     for s in range(ns)]
+                d1, d2 = jinv_apply(r[0], r[1])
+                return wc - jnp.concatenate([d1, d2]), None
+
+            w, _ = jax.lax.scan(newton_body, w, None, length=newton_iter)
+
+            # exact sensitivity right-hand sides at the converged stage
+            # points (the generic jac_reuse path also evaluates Rx/Ru at
+            # the converged root, reusing the frozen factorization)
+            Fx_c, xi_c, K_c = stage_jacs(w)
+            Fu_c = jnp.stack([
+                jax.jacfwd(lambda uv, s=s: f_impl(
+                    K_c[s], xi_c[s], ze, uv, p, ti[s]))(u)
+                for s in range(ns)])
+            R1 = jnp.concatenate([Fx_c[0], Fu_c[0]], axis=1)
+            R2 = jnp.concatenate([Fx_c[1], Fu_c[1]], axis=1)
+            d1, d2 = jinv_apply(R1, R2)
+            dK = jnp.stack([-d1, -d2])              # (ns, nx, nx+nu)
+            x_next = x_k + h * (b_ @ w.reshape(ns, nx))
+            G = h * jnp.einsum("s,sij->ij", b_, dK)
+            A_sub = eye + G[:, :nx]
+            B_sub = G[:, nx:]
+            return (x_next, A_sub @ Sx, A_sub @ Su + B_sub, w, z0,
+                    Jz), None
+
         nu = u.shape[-1]
         (x_out, Sx, Su, _w, z0, Jz), _ = jax.lax.scan(
-            substep, (x, jnp.eye(nx, dtype=x.dtype),
-                      jnp.zeros((nx, nu), x.dtype),
-                      jnp.zeros((nw,), x.dtype),
-                      jnp.zeros((nz,), x.dtype),
-                      jnp.zeros((nz, nx + nu), x.dtype)),
+            substep_kron if kron_path else substep,
+            (x, jnp.eye(nx, dtype=x.dtype),
+             jnp.zeros((nx, nu), x.dtype),
+             jnp.zeros((nw,), x.dtype),
+             jnp.zeros((nz,), x.dtype),
+             jnp.zeros((nz, nx + nu), x.dtype)),
             jnp.arange(num_steps))
         if nz > 0:
             return x_out, Sx, Su, z0, Jz

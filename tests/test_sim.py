@@ -257,3 +257,88 @@ class TestSimBatchSolver:
             np.testing.assert_allclose(xn[i], one.simulate(x=X[i], u=U[i]),
                                        atol=1e-12)
         assert bs.get("S_forw").shape == (8, 4, 5)
+
+
+class TestIrkKronPath:
+    """2-stage frozen-Jacobian Kronecker split (irk.make_irk_step_jac
+    kron_path): one (nx, nx) block-determinant inverse replaces the
+    (2nx, 2nx) stage-system factorization. Must match the generic
+    jac_reuse path it substitutes (reference jac_reuse semantics,
+    sim_common.h:139; staged factorization sim_irk_integrator.c:1545)."""
+
+    def _fns(self, num_steps=2, newton_iter=3):
+        from acados_tpu.sim.integrator import normalize_dynamics
+        from acados_tpu.sim.irk import (implicit_from_explicit,
+                                        make_irk_step_jac)
+        fi = implicit_from_explicit(normalize_dynamics(pendulum_ode))
+        kw = dict(nx=4, nz=0, num_stages=2, num_steps=num_steps,
+                  newton_iter=newton_iter, jac_reuse=True)
+        gen = make_irk_step_jac(fi, **kw, kron_path=False)
+        kro = make_irk_step_jac(fi, **kw, kron_path=True,
+                                explicit_ode=True)
+        return gen, kro
+
+    def test_matches_generic_jac_reuse(self):
+        gen, kro = self._fns()
+        x = jnp.asarray([0.1, 2.9, 0.3, -0.2])
+        u = jnp.asarray([3.0])
+        p = jnp.zeros(0)
+        xg, Ag, Bg = gen(x, u, p, 0.0, 0.1)
+        xk, Ak, Bk = kro(x, u, p, 0.0, 0.1)
+        # identical root (the residual is exact in both; only the Newton
+        # preconditioner differs)
+        np.testing.assert_allclose(xk, xg, atol=1e-10)
+        # sensitivities agree within the O(h * stage-Jacobian-spread)
+        # error class jac_reuse itself accepts
+        np.testing.assert_allclose(Ak, Ag, atol=2e-4)
+        np.testing.assert_allclose(Bk, Bg, atol=2e-4)
+
+    def test_converges_to_exact_root(self):
+        from acados_tpu.sim.integrator import normalize_dynamics
+        from acados_tpu.sim.irk import (implicit_from_explicit,
+                                        make_irk_step_jac)
+        fi = implicit_from_explicit(normalize_dynamics(pendulum_ode))
+        ref = make_irk_step_jac(fi, nx=4, nz=0, num_stages=2,
+                                num_steps=2, newton_iter=25,
+                                jac_reuse=False, kron_path=False)
+        _, kro = self._fns(newton_iter=10)
+        x = jnp.asarray([0.0, 3.0, 0.1, 0.0])
+        u = jnp.asarray([-2.0])
+        p = jnp.zeros(0)
+        xr, Ar, _ = ref(x, u, p, 0.0, 0.1)
+        xk, Ak, _ = kro(x, u, p, 0.0, 0.1)
+        np.testing.assert_allclose(xk, xr, atol=1e-12)
+        np.testing.assert_allclose(Ak, Ar, atol=1e-4)
+
+    def test_radau_tableau(self):
+        """The block-determinant split holds for ANY 2-stage tableau,
+        not just Gauss-Legendre."""
+        from acados_tpu.sim.integrator import normalize_dynamics
+        from acados_tpu.sim.irk import (implicit_from_explicit,
+                                        make_irk_step_jac)
+        fi = implicit_from_explicit(normalize_dynamics(pendulum_ode))
+        kw = dict(nx=4, nz=0, num_stages=2, num_steps=1,
+                  newton_iter=4, jac_reuse=True,
+                  collocation="RADAU_IIA")
+        gen = make_irk_step_jac(fi, **kw, kron_path=False)
+        kro = make_irk_step_jac(fi, **kw, kron_path=True,
+                                explicit_ode=True)
+        x = jnp.asarray([0.05, 3.1, -0.1, 0.2])
+        u = jnp.asarray([1.5])
+        p = jnp.zeros(0)
+        xg, Ag, Bg = gen(x, u, p, 0.0, 0.05)
+        xk, Ak, Bk = kro(x, u, p, 0.0, 0.05)
+        np.testing.assert_allclose(xk, xg, atol=1e-10)
+        np.testing.assert_allclose(Ak, Ag, atol=2e-4)
+
+    def test_rejects_bad_config(self):
+        from acados_tpu.sim.integrator import normalize_dynamics
+        from acados_tpu.sim.irk import (implicit_from_explicit,
+                                        make_irk_step_jac)
+        fi = implicit_from_explicit(normalize_dynamics(pendulum_ode))
+        with pytest.raises(ValueError):
+            make_irk_step_jac(fi, nx=4, nz=0, num_stages=3,
+                              kron_path=True, explicit_ode=True)
+        with pytest.raises(ValueError):
+            make_irk_step_jac(fi, nx=4, nz=0, num_stages=2,
+                              kron_path=True, explicit_ode=False)
