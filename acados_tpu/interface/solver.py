@@ -193,6 +193,7 @@ class AcadosOcpSolver:
         if self.dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
             raise RuntimeError("dtype float64 requires jax_enable_x64")
         self._solve_fn = self._make_solve_fn()
+        self._solve_fn_noelim = None  # lazy barrier-x0 fallback (solve())
         self._rti_fns = None  # built lazily on first rti_phase use
         self._rti_phase = 0
         self._rti_cache = None
@@ -385,6 +386,18 @@ class AcadosOcpSolver:
             self._iterate["x"] = xs
         self._default_init = False
 
+    def _x0_bounds_asymmetric(self) -> bool:
+        """True when x0 elimination is active but lb_0 != ub_0 on the
+        state rows (solve() then uses the barrier fallback)."""
+        from acados_tpu.ocp_nlp.sqp import use_x0_elimination
+        if not use_x0_elimination(self.form, self.opts):
+            return False
+        lay = self._layout(0)
+        nx = self.form.nx
+        off = lay.off_bx
+        return not np.array_equal(self._data["lb_0"][off:off + nx],
+                                  self._data["ub_0"][off:off + nx])
+
     def solve(self) -> int:
         """Solve; returns acados status (0 success). For SQP_RTI with
         rti_phase set via options_set, runs only that phase
@@ -398,9 +411,22 @@ class AcadosOcpSolver:
         if debug_checks_enabled(self.acados_ocp.solver_options):
             check_nlp_data(self._data)
             check_iterate(self._iterate)
+        solve_fn = self._solve_fn
+        if self._x0_bounds_asymmetric():
+            # x0 elimination pins x0 to lb_0 and assumes lb_0 == ub_0 on
+            # the state rows; constraints_set can legitimately open that
+            # box (a genuine initial-state range), so the solve falls
+            # back to the barrier treatment for THIS data (lazy second
+            # jit; the reference reduce_eq_dof likewise only applies to
+            # true equalities). Checked at solve time — setting lbx then
+            # ubx is transiently asymmetric and must not trip this.
+            if self._solve_fn_noelim is None:
+                opts_ne = self.opts.replace(eliminate_x0=False)
+                self._solve_fn_noelim = make_sqp_solver(self.form, opts_ne)
+            solve_fn = self._solve_fn_noelim
         t0 = time.perf_counter()
-        it, stats = self._solve_fn(data_to_jax(self._data, self.dtype),
-                                   self._iterate_jax())
+        it, stats = solve_fn(data_to_jax(self._data, self.dtype),
+                             self._iterate_jax())
         it, stats = _fence((it, stats))
         self._time_tot = time.perf_counter() - t0
         self._iterate = {k: np.asarray(getattr(it, k))

@@ -380,7 +380,11 @@ def _pad_maps(N: int, N2: int, sizes=None):
             else:
                 link_src.append(0)
                 link_real.append(False)
-                node_src.append(0)
+                # padding nodes sit BEHIND the block's real links on
+                # identity dynamics: the carried state is the block's
+                # last real node, so warm starts lifted through this map
+                # stay dynamically consistent at padding links
+                node_src.append(offs[j] + bs[j])
                 node_real.append(False)
     node_src.append(N)
     node_real.append(True)

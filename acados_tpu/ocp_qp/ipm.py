@@ -88,6 +88,10 @@ class IpmOpts:
     # dominates on TPU for small models; unrolling trades compile time
     # for fused stage kernels. 1 = plain scan.
     stall_max: int = 4
+    # f32 ONLY (the batched TPU production path): in f64 the effective
+    # limit is max(stall_max, iter_max) — the oracle keeps HPIPM's
+    # semantics (run to tolerance or iter_max; a slow-but-converging QP
+    # is never cut off), with the best-iterate return still applying.
     # stop after this many consecutive non-improving FULL-ish steps
     # (alpha > stall_alpha): a chattering active set (borderline
     # bang-bang instance) bounces between two points at large alpha
@@ -445,6 +449,10 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
     it0 = _init_iterate(qp, opts, warm, dx0=dx0)
     mu_floor = jnp.maximum(jnp.asarray(opts.mu_min, dt),
                            10 * jnp.finfo(dt).eps)
+    # stall detection is an f32 lockstep-batch mitigation; the f64
+    # oracle path keeps HPIPM semantics (see IpmOpts.stall_max)
+    stall_lim = (opts.stall_max if dt == jnp.float32
+                 else jnp.maximum(opts.stall_max, opts.iter_max))
 
     def err_of(rs, re, ri, mu):
         """Worst residual-to-tolerance ratio; <= 1 means converged."""
@@ -530,7 +538,7 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
         converged = err <= 1.0
         status = jnp.where(nan, 1, jnp.where(converged, 0, status))
         done = (converged | nan | (mu_new < mu_floor)
-                | (no_imp >= opts.stall_max))
+                | (no_imp >= stall_lim))
         return (it_new, res_new, mu_new, best_it, best_err, no_imp, k + 1,
                 status, done)
 

@@ -74,10 +74,13 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
         qp_p, maps = pad_qp_to_blocks(qp, cond_N,
                                       block_sizes=cond_block_size)
         warm_p = None if warm is None else pad_warm_to_blocks(warm, maps)
-        qp_c, cache = partial_condense(qp_p, cond_N)
-        warm_c = None if warm_p is None else condense_warm(warm_p, cond_N)
+        # keep_rows carries through: padding nodes are "path" nodes whose
+        # rows are fully masked, so the static real-row counts still hold
+        qp_c, cache = partial_condense(qp_p, cond_N, keep_rows=keep_rows)
+        warm_c = None if warm_p is None else condense_warm(
+            warm_p, cond_N, keep_rows=keep_rows)
         sol_c, info = backend(qp_c, opts, warm=warm_c)
-        sol_p = partial_expand(qp_p, cache, sol_c)
+        sol_p = partial_expand(qp_p, cache, sol_c, keep_rows=keep_rows)
         return unpad_sol(sol_p, maps), info
     qp_c, cache = partial_condense(qp, cond_N, keep_rows=keep_rows)
     warm_c = None if warm is None else condense_warm(warm, cond_N,

@@ -41,8 +41,21 @@ def _finite(name, a):
               f"{bad.tolist()}")
 
 
-def check_nlp_data(data: dict) -> None:
-    """Validate the runtime NlpData dict before a solve."""
+def check_nlp_data(data: dict, x0_elim_nx: int = 0) -> None:
+    """Validate the runtime NlpData dict before a solve.
+
+    x0_elim_nx > 0: initial-state elimination is active — the first
+    x0_elim_nx stage-0 rows must be equalities (lb_0 == ub_0); the
+    eliminated path pins x0 to lb_0 and would silently solve the wrong
+    problem otherwise (the interface also auto-disables elimination on
+    asymmetric constraints_set, so this guards direct data edits)."""
+    if x0_elim_nx > 0 and "lb_0" in data and "ub_0" in data:
+        l0 = np.asarray(data["lb_0"])[..., :x0_elim_nx]
+        u0 = np.asarray(data["ub_0"])[..., :x0_elim_nx]
+        if not np.array_equal(l0, u0):
+            _fail("debug check: x0 elimination active but lb_0 != ub_0 "
+                  "on the state rows — set eliminate_x0=False or keep "
+                  "the initial-state rows an equality")
     for name in ("W", "yref", "p", "ts", "dts", "cost_scale",
                  "Zl", "Zu", "zl", "zu"):
         if name in data and data[name] is not None:

@@ -322,3 +322,51 @@ class TestRaggedBlocks:
         assert s2.solve() == 0
         np.testing.assert_allclose(np.asarray(s.get(0, "u")),
                                    np.asarray(s2.get(0, "u")), atol=1e-5)
+
+
+class TestKeepRowsRagged:
+    def test_keep_rows_parity_ragged_blocks(self):
+        """keep_rows now carries through the ragged (non-divisor cond_N)
+        padded path: padding nodes are path nodes with fully-masked rows,
+        so the static real-row counts still hold (ADVICE r4)."""
+        qp = random_ocp_qp(jax.random.PRNGKey(9), N=7, nx=4, nu=2, nc=4)
+        npth = 2
+        ml = qp.mask_l.at[1:7, npth:].set(0.0)
+        mu = qp.mask_u.at[1:7, npth:].set(0.0)
+        qp = qp.replace(mask_l=ml, mask_u=mu)
+        sol_ref, info_ref = solve_ocp_qp(qp, OPTS)
+        assert int(info_ref.status) == 0
+        for N2 in (2, 3):  # 7 % N2 != 0 -> ragged/padded path
+            sol, info = solve_ocp_qp_xcond(qp, OPTS, cond_N=N2,
+                                           keep_rows=(8, npth))
+            assert int(info.status) == 0
+            np.testing.assert_allclose(np.asarray(sol.x),
+                                       np.asarray(sol_ref.x), atol=2e-6)
+            np.testing.assert_allclose(np.asarray(sol.u),
+                                       np.asarray(sol_ref.u), atol=2e-6)
+            res = kkt_residuals_qp(qp, sol)
+            assert max(res["stat"], res["eq"], res["ineq"],
+                       res["comp"]) < 1e-5
+
+    def test_ragged_warm_start_padding_consistent(self):
+        """pad_warm_to_blocks seeds padding-node states from the block's
+        carried state (ADVICE r4): the padded warm point satisfies the
+        identity padding dynamics exactly."""
+        from acados_tpu.ocp_qp.condensing import (pad_qp_to_blocks,
+                                                  pad_warm_to_blocks)
+        qp = random_ocp_qp(jax.random.PRNGKey(3), N=7, nx=4, nu=2, nc=3)
+        sol, info = solve_ocp_qp(qp, OPTS)
+        assert int(info.status) == 0
+        qp_p, maps = pad_qp_to_blocks(qp, 3)
+        warm_p = pad_warm_to_blocks(sol, maps)
+        _, _, l_real, _, _, _, _ = maps
+        x = np.asarray(warm_p.x)
+        A_p = np.asarray(qp_p.A)
+        B_p = np.asarray(qp_p.B)
+        b_p = np.asarray(qp_p.b)
+        u = np.asarray(warm_p.u)
+        for k in range(len(l_real)):
+            if not l_real[k]:
+                # padding link: x_{k+1} = I x_k + 0 u + 0 must hold
+                gap = x[k + 1] - (A_p[k] @ x[k] + B_p[k] @ u[k] + b_p[k])
+                np.testing.assert_allclose(gap, 0.0, atol=1e-12)

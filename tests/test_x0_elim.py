@@ -133,3 +133,49 @@ class TestQpWarmStart:
         assert int(info_w.num_iter) == int(info_cold.num_iter)
         np.testing.assert_allclose(np.asarray(sol_w.x),
                                    np.asarray(sol_c.x), atol=1e-12)
+
+
+class TestAsymmetricX0Fallback:
+    def test_asymmetric_x0_box_uses_barrier_fallback(self):
+        """A genuine initial-state BOX (lbx_0 != ubx_0) set after build
+        must not be silently pinned to lb_0 by the eliminated-x0 path:
+        solve() detects the asymmetry and uses the barrier treatment
+        (ADVICE r4). Parity against a solver built without elimination
+        is the guarantee."""
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        lb = np.array([-0.1, np.pi - 0.3, -0.1, -0.1])
+        ub = np.array([0.1, np.pi + 0.3, 0.1, 0.1])
+
+        s = AcadosOcpSolver(make_pendulum_ocp(N=10, dtype="float64"))
+        assert s.opts.eliminate_x0
+        s.constraints_set(0, "lbx", lb)
+        s.constraints_set(0, "ubx", ub)
+        assert s.solve() == 0
+        x0 = s.get(0, "x")
+        assert np.all(x0 >= lb - 1e-6) and np.all(x0 <= ub + 1e-6)
+
+        # reference: elimination disabled from the start
+        ref = AcadosOcpSolver(make_pendulum_ocp(N=10, dtype="float64"))
+        ref.opts = ref.opts.replace(eliminate_x0=False)
+        ref._solve_fn = ref._make_solve_fn()
+        ref.constraints_set(0, "lbx", lb)
+        ref.constraints_set(0, "ubx", ub)
+        assert ref.solve() == 0
+        np.testing.assert_allclose(x0, ref.get(0, "x"), atol=1e-6)
+        for k in (3, 10):
+            np.testing.assert_allclose(s.get(k, "x"), ref.get(k, "x"),
+                                       atol=1e-6)
+
+    def test_symmetric_update_keeps_elimination(self):
+        """Setting lbx then ubx is transiently asymmetric; the check is
+        at solve time, so the eliminated fast path still runs."""
+        from acados_tpu.interface.solver import AcadosOcpSolver
+        s = AcadosOcpSolver(make_pendulum_ocp(N=10, dtype="float64"))
+        x0 = np.array([0.0, np.pi + 0.1, 0.0, 0.0])
+        s.constraints_set(0, "lbx", x0)
+        s.constraints_set(0, "ubx", x0)
+        assert s.opts.eliminate_x0
+        assert not s._x0_bounds_asymmetric()
+        assert s.solve() == 0
+        assert s._solve_fn_noelim is None  # fallback never built
+        np.testing.assert_allclose(s.get(0, "x"), x0, atol=1e-8)
