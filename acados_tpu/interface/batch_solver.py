@@ -133,6 +133,81 @@ class AcadosOcpBatchSolver:
         self._status = np.asarray(stats.status)
         return self._status
 
+    # -- batched RTI phase API ------------------------------------------------
+    # Reference: the generated capsule's batched phase entries
+    # (batch_setup_qp_matrices_and_factorize, acados_solver.in.c:3246)
+    # OpenMP-parallelize the preparation phase over capsules; here the
+    # phases are make_rti_solver's (prepare, feedback) vmapped over the
+    # batch — the deployment shape of an RL / scenario-MPC loop: prepare
+    # between samples, inject the measured x0 batch, feedback.
+
+    def _ensure_rti_fns(self):
+        if self.acados_ocp.solver_options.nlp_solver_type != "SQP_RTI":
+            raise RuntimeError("batched prepare/feedback requires "
+                               "nlp_solver_type == 'SQP_RTI'")
+        if getattr(self, "_rti_batch_fns", None) is None:
+            from acados_tpu.ocp_nlp.rti import make_rti_solver
+            prep1, fb1 = make_rti_solver(self.form, self.opts)
+            self._rti_batch_fns = (
+                jax.jit(jax.vmap(lambda d, i: prep1(d, i))),
+                jax.jit(jax.vmap(lambda d, i, c: prep1(d, i,
+                                                       prev_cache=c))),
+                jax.jit(jax.vmap(fb1)))
+            self._rti_cache = None
+
+    def _batch_data_init(self):
+        data = data_to_jax(self._data, self.dtype)
+        init = NlpIterate(**{k: jnp.asarray(v, self.dtype)
+                             for k, v in self._iterate.items()})
+        return data, init
+
+    def prepare(self):
+        """Batched RTI preparation: linearize + predictor-QP solve for
+        every instance (one vmapped program). Call between samples; the
+        cache feeds the next feedback(). AS-RTI levels (as_rti_level in
+        the options) advance from the previous cycle's cache
+        automatically."""
+        self._ensure_rti_fns()
+        prep0, prep_prev, _ = self._rti_batch_fns
+        data, init = self._batch_data_init()
+        if self._rti_cache is None \
+                or self.opts.as_rti_level == "STANDARD":
+            cache = prep0(data, init)
+        else:
+            cache = prep_prev(data, init, self._rti_cache)
+        _ = np.asarray(jnp.ravel(cache.g0)[0])  # fence
+        self._rti_cache = cache
+
+    # reference capsule spelling
+    setup_qp_matrices_and_factorize = prepare
+
+    def feedback(self, x0=None):
+        """Batched RTI feedback: inject fresh initial states and solve
+        the prepared QPs (warm-started from the predictor solutions).
+
+        x0: optional (N_batch, nbx0) measured initial states; None keeps
+        the bounds already set (per-instance constraints_set). Returns
+        the (N_batch,) status array."""
+        if getattr(self, "_rti_cache", None) is None:
+            raise RuntimeError("call prepare() before feedback()")
+        if x0 is not None:
+            lay = self._layout(0)
+            x0 = np.asarray(x0, np.float64).reshape(self.N_batch, lay.nbx)
+            sl = slice(lay.off_bx, lay.off_bx + lay.nbx)
+            self._data["lb_0"][:, sl] = x0
+            self._data["ub_0"][:, sl] = x0
+        _, _, fb = self._rti_batch_fns
+        data, init = self._batch_data_init()
+        t0 = time.perf_counter()
+        it, stats = fb(self._rti_cache, data, init)
+        _ = np.asarray(jnp.ravel(stats.status)[0])  # fence
+        self._time_tot = time.perf_counter() - t0
+        self._iterate = {k: np.asarray(getattr(it, k))
+                         for k in self._iterate}
+        self._stats = stats
+        self._status = np.asarray(stats.status)
+        return self._status
+
     # flattened iterate API (reference get_flat/set_flat,
     # acados_ocp_batch_solver.py)
     def get_flat(self, field: str):

@@ -425,21 +425,24 @@ def adaptive_qp_tol(opts: SqpOpts, qp_opts: IpmOpts, rs, re, ri, rc):
 
 def use_x0_elimination(form: OcpNlpFormulation, opts: SqpOpts) -> bool:
     """Static eligibility for initial-state elimination (the HPIPM
-    d_ocp_qp_reduce_eq_dof analog): the builder must have proven the
+    d_ocp_qp_reduce_eq_dof analog, which the reference applies
+    unconditionally BEFORE partial condensing,
+    ocp_qp_partial_condensing.c:542): the builder must have proven the
     stage-0 rows start with a full-state identity equality block
-    (x0_equality), none of those rows softened, and the QP must go to
-    the plain Riccati IPM (condensing keeps the stage-0 rows attached
-    to the block-entry state; scaling rescales the rows the eliminated
-    dx0 is read from)."""
+    (x0_equality) and none of those rows are softened. The elimination
+    composes with partial condensing (the condensed block-0 entry state
+    IS x0; xcond passes the re-blocked identity-row positions) and with
+    qpscaling (the x0 rows keep unit row scales). Full condensing has
+    its own state elimination; non-Riccati backends lack the fast
+    path."""
     nx = form.nx
     return bool(
         opts.eliminate_x0
         and getattr(form, "x0_equality", False)
         and form.con_0.idxbx == tuple(range(nx))
         and not any(r < nx for r in form.con_0.soft_rows)
-        and opts.cond_N is None and not opts.full_cond
-        and opts.qp_solver_name == "RICCATI_IPM"
-        and opts.qpscaling == "NO_SCALING")
+        and not opts.full_cond
+        and opts.qp_solver_name == "RICCATI_IPM")
 
 
 def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
@@ -471,7 +474,10 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
         scales = None
         if opts.qpscaling != "NO_SCALING":
             from acados_tpu.ocp_qp.qpscaling import scale_qp, unscale_sol
-            qp, scales = scale_qp(qp)
+            # x0 rows keep unit scales: the eliminated path reads dx0
+            # from lg on those rows (see qpscaling.scale_qp)
+            qp, scales = scale_qp(
+                qp, unit_rows_0=form.nx if _x0_fixed else 0)
             warm = None  # warm point is in unscaled units
         if opts.full_cond:
             sol, info = solve_ocp_qp_xcond(qp, qp_opts,
@@ -480,7 +486,8 @@ def make_sqp_solver(form: OcpNlpFormulation, opts: SqpOpts):
             sol, info = solve_ocp_qp_xcond(
                 qp, qp_opts, cond_N=opts.cond_N, warm=warm,
                 keep_rows=_keep_rows,
-                cond_block_size=opts.cond_block_size)
+                cond_block_size=opts.cond_block_size,
+                x0_fixed=_x0_fixed)
         elif opts.qp_solver_name != "RICCATI_IPM":
             from acados_tpu.ocp_qp.registry import get_qp_backend
             sol, info = get_qp_backend(opts.qp_solver_name)(

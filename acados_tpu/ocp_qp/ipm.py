@@ -413,38 +413,48 @@ def _init_iterate(qp: OcpQp, opts: IpmOpts, warm: OcpQpSol | None,
                     lam_sl=lam_sl, lam_su=lam_su)
 
 
-@partial(jax.jit, static_argnames=("unroll", "x0_fixed"))
+@partial(jax.jit, static_argnames=("unroll", "x0_fixed", "x0_rows"))
 def solve_ocp_qp(qp: OcpQp, opts: IpmOpts = None, warm: OcpQpSol | None = None,
-                 unroll: bool = False, x0_fixed: bool = False):
+                 unroll: bool = False, x0_fixed: bool = False,
+                 x0_rows: tuple = None):
     """Solve one OCP-QP. vmap over a leading batch axis for batched solves.
 
     x0_fixed: eliminate the initial state (reference: HPIPM
     d_ocp_qp_reduce_eq_dof, applied unconditionally by the reference's
     partial-condensing front-end, ocp_qp_partial_condensing.c:542).
-    Requires the first nx stage-0 rows to be identity state rows with
-    lg == ug (the builder's x0 layout); those rows leave the barrier
-    entirely — the IPM no longer pays iterations re-growing their stiff
-    multipliers from the cold start — and their multipliers are recovered
-    from stage-0 stationarity at the solution.
+    Requires nx stage-0 rows that are identity state rows with lg == ug
+    (the builder's x0 layout); those rows leave the barrier entirely —
+    the IPM no longer pays iterations re-growing their stiff multipliers
+    from the cold start — and their multipliers are recovered from
+    stage-0 stationarity at the solution.
+
+    x0_rows: static row indices of the identity rows (x0_rows[j] pins
+    state component j). Default: the first nx rows. The condensing
+    front-end passes the scattered positions its row re-blocking
+    produces (xcond.solve_ocp_qp_xcond).
 
     Returns (OcpQpSol, IpmInfo).
     """
     if opts is None:
         opts = IpmOpts()
     with jax.default_matmul_precision(opts.matmul_precision):
-        return _solve_ocp_qp_impl(qp, opts, warm, unroll, x0_fixed)
+        return _solve_ocp_qp_impl(qp, opts, warm, unroll, x0_fixed,
+                                  x0_rows)
 
 
 def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
-                       x0_fixed: bool = False):
+                       x0_fixed: bool = False, x0_rows: tuple = None):
     dt = qp.q.dtype
     nx = qp.q.shape[-1]
     if x0_fixed:
-        dx0 = qp.lg[0, :nx]
+        rows = jnp.asarray(x0_rows if x0_rows is not None
+                           else tuple(range(nx)), jnp.int32)
+        dx0 = qp.lg[0, rows]
         dx0_zero = jnp.zeros_like(dx0)
-        qp = qp.replace(mask_l=qp.mask_l.at[0, :nx].set(0.0),
-                        mask_u=qp.mask_u.at[0, :nx].set(0.0))
+        qp = qp.replace(mask_l=qp.mask_l.at[0, rows].set(0.0),
+                        mask_u=qp.mask_u.at[0, rows].set(0.0))
     else:
+        rows = None
         dx0 = dx0_zero = None
     it0 = _init_iterate(qp, opts, warm, dx0=dx0)
     mu_floor = jnp.maximum(jnp.asarray(opts.mu_min, dt),
@@ -571,10 +581,10 @@ def _solve_ocp_qp_impl(qp: OcpQp, opts: IpmOpts, warm, unroll,
     t_lg, t_ug = it.t_l, it.t_u
     if x0_fixed:
         lam0 = _x0_row_multiplier(qp, it)
-        lam_lg = lam_lg.at[0, :nx].set(jnp.maximum(lam0, 0.0))
-        lam_ug = lam_ug.at[0, :nx].set(jnp.maximum(-lam0, 0.0))
-        t_lg = t_lg.at[0, :nx].set(0.0)
-        t_ug = t_ug.at[0, :nx].set(0.0)
+        lam_lg = lam_lg.at[0, rows].set(jnp.maximum(lam0, 0.0))
+        lam_ug = lam_ug.at[0, rows].set(jnp.maximum(-lam0, 0.0))
+        t_lg = t_lg.at[0, rows].set(0.0)
+        t_ug = t_ug.at[0, rows].set(0.0)
     sol = OcpQpSol(x=it.x, u=it.u, pi=it.pi,
                    lam_lg=lam_lg, lam_ug=lam_ug,
                    t_lg=t_lg, t_ug=t_ug,

@@ -24,8 +24,14 @@ from acados_tpu.ocp_qp.data import OcpQp, OcpQpSol
 
 def scale_qp(qp: OcpQp, ub_max_abs_eig: float = 1e5,
              lb_norm_inf_grad_obj: float = 1e-4,
-             scale_constraints: bool = True):
-    """Returns (qp_scaled, (obj_factor, row_scales))."""
+             scale_constraints: bool = True, unit_rows_0: int = 0):
+    """Returns (qp_scaled, (obj_factor, row_scales)).
+
+    unit_rows_0 > 0: keep the first unit_rows_0 stage-0 row scales at
+    1.0 — the x0-elimination path reads dx0 straight from lg on those
+    rows (and they leave the barrier entirely, so their conditioning is
+    irrelevant). The reference applies reduce_eq_dof before any scaling
+    sees those rows (ocp_qp_partial_condensing.c:542)."""
     dt = qp.q.dtype
 
     # --- objective factor (Gershgorin bound on the stage Hessians) --------
@@ -52,6 +58,8 @@ def scale_qp(qp: OcpQp, ub_max_abs_eig: float = 1e5,
             coeff[:-1], jnp.max(jnp.abs(qp.D), axis=-1)))
         s = 1.0 / jnp.maximum(coeff, 1.0)
         s = jnp.where((qp.mask_l + qp.mask_u) > 0, s, 1.0).astype(dt)
+        if unit_rows_0 > 0:
+            s = s.at[0, :unit_rows_0].set(1.0)
     else:
         s = jnp.ones_like(qp.lg)
 

@@ -33,12 +33,27 @@ def resolve_cond_N(N: int, cond_N) -> int | None:
     return max(int(cond_N), 1)
 
 
+def cond_x0_rows(nc: int, nx: int, M: int, keep_rows=None):
+    """Static positions of the stage-0 x0 identity rows (original rows
+    0..nx-1) in the condensed node-0 row vector.
+
+    partial_condense maps stage-0 row r to condensed row r when
+    r < npath, and to M*npath + (r - npath) otherwise (the stage-0
+    extras block). Returns a tuple usable as solve_ocp_qp's x0_rows."""
+    from acados_tpu.ocp_qp.condensing import _resolve_keep
+    n0, npth, _ = _resolve_keep(nc, keep_rows)
+    assert n0 >= nx, (n0, nx)
+    return tuple(r if r < npth else M * npth + (r - npth)
+                 for r in range(nx))
+
+
 @partial(jax.jit, static_argnames=("cond_N", "full_cond", "keep_rows",
-                                   "cond_block_size"))
+                                   "cond_block_size", "x0_fixed"))
 def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
                        full_cond: bool = False,
                        warm: OcpQpSol | None = None, backend=None,
-                       keep_rows=None, cond_block_size=None):
+                       keep_rows=None, cond_block_size=None,
+                       x0_fixed: bool = False):
     """Solve an OcpQp through the condensing front-end.
 
     cond_N: partial-condensing horizon (must divide N; use resolve_cond_N);
@@ -47,13 +62,33 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
     backend: OCP-QP backend callable (qp, opts, warm=) for the (partially
       condensed) QP; None = the Riccati IPM (reference: the xcond wrapper
       composes {condensing} x {any backend}, ocp_qp_xcond_solver.c:551-573).
+    x0_fixed: eliminate the initial state THROUGH the condensing (the
+      reference applies d_ocp_qp_reduce_eq_dof unconditionally before
+      partial condensing, ocp_qp_partial_condensing.c:542): the condensed
+      block-0 entry state IS x0, so the identity rows survive condensing
+      at statically known positions (cond_x0_rows) and the condensed QP
+      is solved with the eliminated-x0 Riccati path. Requires the default
+      Riccati backend and the builder's x0 row layout.
     Returns (OcpQpSol in original coordinates, IpmInfo).
     """
     if opts is None:
         opts = IpmOpts()
     if backend is None:
         backend = solve_ocp_qp
+    if x0_fixed and backend is not solve_ocp_qp:
+        raise ValueError("x0_fixed requires the Riccati IPM backend")
+
+    def run(qp_c, warm_c, x0_rows=None):
+        if x0_fixed:
+            return backend(qp_c, opts, warm=warm_c, x0_fixed=True,
+                           x0_rows=x0_rows)
+        return backend(qp_c, opts, warm=warm_c)
+
     if full_cond:
+        if x0_fixed:
+            raise ValueError("x0_fixed is not supported with full "
+                             "condensing (the dense path has its own "
+                             "state elimination)")
         dense, cache = full_condense(qp)
         sol_d, info = solve_dense_qp(dense, opts)
         return full_expand(qp, cache, sol_d), info
@@ -63,12 +98,15 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
         if len(set(cond_block_size)) == 1 \
                 and cond_N * cond_block_size[0] == qp.dims.N:
             cond_block_size = None  # uniform -> plain path below
+    nx = qp.dims.nx
+    nc = qp.dims.nc
     if cond_N is None or cond_N >= qp.dims.N:
-        return backend(qp, opts, warm=warm)
+        return run(qp, warm)
     if cond_block_size is not None or qp.dims.N % cond_N != 0:
         # ragged blocks (HPIPM remainder rule): pad to uniform width
         # with inert stages, condense uniformly, un-pad the solution
-        from acados_tpu.ocp_qp.condensing import (pad_qp_to_blocks,
+        from acados_tpu.ocp_qp.condensing import (hpipm_block_sizes,
+                                                  pad_qp_to_blocks,
                                                   pad_warm_to_blocks,
                                                   unpad_sol)
         qp_p, maps = pad_qp_to_blocks(qp, cond_N,
@@ -79,11 +117,18 @@ def solve_ocp_qp_xcond(qp: OcpQp, opts: IpmOpts = None, cond_N: int = None,
         qp_c, cache = partial_condense(qp_p, cond_N, keep_rows=keep_rows)
         warm_c = None if warm_p is None else condense_warm(
             warm_p, cond_N, keep_rows=keep_rows)
-        sol_c, info = backend(qp_c, opts, warm=warm_c)
+        rows_c = None
+        if x0_fixed:
+            bs = (list(cond_block_size) if cond_block_size is not None
+                  else hpipm_block_sizes(qp.dims.N, cond_N))
+            rows_c = cond_x0_rows(nc, nx, max(bs), keep_rows)
+        sol_c, info = run(qp_c, warm_c, rows_c)
         sol_p = partial_expand(qp_p, cache, sol_c, keep_rows=keep_rows)
         return unpad_sol(sol_p, maps), info
     qp_c, cache = partial_condense(qp, cond_N, keep_rows=keep_rows)
     warm_c = None if warm is None else condense_warm(warm, cond_N,
                                                     keep_rows=keep_rows)
-    sol_c, info = backend(qp_c, opts, warm=warm_c)
+    rows_c = (cond_x0_rows(nc, nx, qp.dims.N // cond_N, keep_rows)
+              if x0_fixed else None)
+    sol_c, info = run(qp_c, warm_c, rows_c)
     return partial_expand(qp, cache, sol_c, keep_rows=keep_rows), info
