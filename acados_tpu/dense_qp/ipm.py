@@ -188,7 +188,13 @@ def _solve_impl(qp: DenseQp, opts: IpmOpts, warm):
         weights = _row_weights(qp, it)
         W = weights[0]
         Hb = qp.H + (qp.G.T * W) @ qp.G + opts.reg_eps * eye
-        chol = jnp.linalg.cholesky(Hb)
+        if jax.default_backend() == "tpu" and Hb.shape[-1] <= 96:
+            # lane-batched Pallas Cholesky (vmap-collapsing): XLA's
+            # batched cholesky custom-call is ~ms-scale at these shapes
+            from acados_tpu.ops.batched_chol import chol_any
+            chol = chol_any(Hb)
+        else:
+            chol = jnp.linalg.cholesky(Hb)
 
         ml, mu_2 = qp.mask_l, qp.mask_u
         sml, smu = qp.soft_mask * ml, qp.soft_mask * mu_2

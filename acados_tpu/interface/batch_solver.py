@@ -131,6 +131,7 @@ class AcadosOcpBatchSolver:
                          for k in self._iterate}
         self._stats = stats
         self._status = np.asarray(stats.status)
+        self._phase_cache = None
         return self._status
 
     # -- batched RTI phase API ------------------------------------------------
@@ -206,6 +207,7 @@ class AcadosOcpBatchSolver:
                          for k in self._iterate}
         self._stats = stats
         self._status = np.asarray(stats.status)
+        self._phase_cache = None
         return self._status
 
     # flattened iterate API (reference get_flat/set_flat,
@@ -361,4 +363,89 @@ class AcadosOcpBatchSolver:
             return np.asarray(self._stats.sqp_iter)
         if field == "qp_iter":
             return np.asarray(self._stats.qp_iter_total)
+        if field in ("time_lin", "time_qp", "time_sim", "time_reg",
+                     "time_glob"):
+            return self._phase_times()[field]
         raise ValueError(field)
+
+    def _phase_times(self):
+        """Batched per-phase times by FUSED DIFFERENCING (reference
+        timing surface: ocp_nlp_timings, ocp_nlp_common.h:410-428).
+
+        Ordered host-clock callbacks do not vmap, so the batched solve
+        cannot measure its phases from inside. Instead: time the
+        linearization as a fused program (outputs tree-summed so XLA
+        keeps the production layouts), then the fused linearize+QP
+        program with the PRODUCTION QP configuration (x0 elimination,
+        condensing, scaling), both at the last solve's iterate; the
+        difference attributes the QP phase. Inputs are normalized
+        through host numpy first — a standalone program fed device
+        arrays from another program pays input-layout conversion that
+        would corrupt the differencing. Scaled by the lockstep
+        iteration count (the batch max: that is what a vmapped
+        while_loop actually executes). Cached per solve."""
+        if getattr(self, "_phase_cache", None) is not None:
+            return self._phase_cache
+        import time as _time
+
+        from acados_tpu.ocp_nlp.linearize import (build_static_rows,
+                                                  linearize)
+        from acados_tpu.ocp_nlp.regularize import regularize_qp
+        from acados_tpu.ocp_nlp.sqp import use_x0_elimination
+        from acados_tpu.ocp_qp.ipm import solve_ocp_qp
+        from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
+
+        form, opts = self.form, self.opts
+        data, it = self._batch_data_init()
+        lm = jnp.asarray(opts.levenberg_marquardt, self.dtype)
+        x0f = use_x0_elimination(form, opts)
+        static_rows = build_static_rows(form, self.dtype)
+
+        def qp_solve(qp):
+            # mirror of make_sqp_solver's backend dispatch
+            if opts.qpscaling != "NO_SCALING":
+                from acados_tpu.ocp_qp.qpscaling import scale_qp
+                qp, _ = scale_qp(qp,
+                                 unit_rows_0=form.nx if x0f else 0)
+            qp = regularize_qp(qp, opts.regularize_method,
+                               opts.reg_epsilon)
+            if opts.full_cond:
+                return solve_ocp_qp_xcond(qp, opts.qp_opts,
+                                          full_cond=True)
+            if opts.cond_N is not None:
+                return solve_ocp_qp_xcond(
+                    qp, opts.qp_opts, cond_N=opts.cond_N,
+                    cond_block_size=opts.cond_block_size,
+                    x0_fixed=x0f)
+            return solve_ocp_qp(qp, opts.qp_opts, x0_fixed=x0f)
+
+        lin = jax.jit(jax.vmap(lambda d, i: jax.tree.map(
+            jnp.sum, linearize(form, static_rows, d, i, lm))))
+        both = jax.jit(jax.vmap(lambda d, i: qp_solve(
+            linearize(form, static_rows, d, i, lm))))
+
+        def timed(f, reps=3):
+            out = f(data, it)
+            _ = np.asarray(jnp.ravel(jax.tree.leaves(out)[0])[0])
+            ts = []
+            for _i in range(reps):
+                t0 = _time.perf_counter()
+                out = f(data, it)
+                _ = np.asarray(jnp.ravel(jax.tree.leaves(out)[0])[0])
+                ts.append(_time.perf_counter() - t0)
+            return min(ts)
+
+        t_lin = timed(lin)
+        t_both = timed(both)
+        t_qp = max(t_both - t_lin, 0.0)
+        n_iter = (int(np.max(np.asarray(self._stats.sqp_iter)))
+                  if self._stats is not None else 1) or 1
+        self._phase_cache = {
+            "time_lin": t_lin * n_iter,
+            "time_sim": t_lin * n_iter,  # fused lin includes the sweep
+            "time_reg": 0.0,             # fused into the QP program
+            "time_qp": t_qp * n_iter,
+            "time_glob": max(0.0,
+                             self._time_tot - t_both * n_iter),
+        }
+        return self._phase_cache

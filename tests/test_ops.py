@@ -141,3 +141,63 @@ def test_irk_step_jac_matches_jacfwd():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(B), np.asarray(J_ref[:, 4:]),
                                atol=1e-8)
+
+
+class TestCholAny:
+    """ops.batched_chol.chol_any: the production entry the Riccati
+    (riccati._chol, n > UNROLL_MAX_N) and dense-IPM paths use on TPU.
+    On CPU it dispatches to jnp.linalg.cholesky; the Pallas kernel line
+    itself runs in interpret mode here."""
+
+    def test_matches_lapack(self):
+        from acados_tpu.ops.batched_chol import chol_any, \
+            chol_factor_batched
+        rng = np.random.default_rng(0)
+        for B, n in ((4, 5), (16, 39), (8, 64)):
+            A = rng.normal(size=(B, n, n))
+            H = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+            H = jnp.asarray(H)
+            np.testing.assert_allclose(np.asarray(chol_any(H)),
+                                       np.asarray(jnp.linalg.cholesky(H)),
+                                       atol=1e-10)
+            if n <= 8:
+                # the Pallas kernel line in interpret mode (CPU): small
+                # n only — interpret mode costs ~20 ms/op and the n^3
+                # unrolled recurrence makes n=39 take HOURS here. The
+                # real-kernel accuracy at production n runs on the TPU
+                # tier (tests_tpu/test_tpu_kernels.py).
+                np.testing.assert_allclose(
+                    np.asarray(chol_factor_batched(H)),
+                    np.asarray(jnp.linalg.cholesky(H)), atol=1e-9)
+
+    def test_nested_vmap_collapses(self):
+        from acados_tpu.ops.batched_chol import chol_any
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(3, 4, 6, 6))
+        H = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 6 * np.eye(6))
+        out = jax.vmap(jax.vmap(chol_any))(H)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.linalg.cholesky(H)),
+                                   atol=1e-10)
+
+    def test_jvp_matches_ad(self):
+        from acados_tpu.ops.batched_chol import chol_any
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(5, 7, 7))
+        H = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 7 * np.eye(7))
+        dH = jnp.asarray(rng.normal(size=(5, 7, 7)))
+        dH = 0.5 * (dH + jnp.swapaxes(dH, -1, -2))
+        _, t1 = jax.jvp(chol_any, (H,), (dH,))
+        _, t2 = jax.jvp(jnp.linalg.cholesky, (H,), (dH,))
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   atol=1e-9)
+        # reverse mode transposes the linear tangent automatically.
+        # Gradients agree after symmetrization: jnp's cholesky reads
+        # only the lower triangle, so the raw gradients distribute the
+        # same symmetric-direction sensitivity differently between the
+        # triangles; H is SPD and perturbed symmetrically in every
+        # production use.
+        g1 = jax.grad(lambda h: jnp.sum(chol_any(h) ** 2))(H)
+        g2 = jax.grad(lambda h: jnp.sum(jnp.linalg.cholesky(h) ** 2))(H)
+        sym = lambda g: np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2)
+        np.testing.assert_allclose(sym(g1), sym(g2), atol=1e-9)

@@ -132,3 +132,86 @@ class TestFusedIrkJac:
                     / (2 * eps))[:, None]
         assert np.max(np.abs(np.asarray(A) - A_fd)) < 1e-2
         assert np.max(np.abs(np.asarray(B) - B_fd)) < 1e-2
+
+
+class TestCholAnyOnChip:
+    """Lane-batched Pallas Cholesky at production sizes vs the host f64
+    oracle (the CPU tier only exercises interpret mode at tiny n —
+    interpret costs ~20 ms/op, so n=39 takes hours there)."""
+
+    @pytest.mark.parametrize("n", [16, 39, 64, 90])
+    def test_vs_f64_oracle(self, rng, n):
+        from acados_tpu.ops.batched_chol import chol_any
+
+        B = 257  # non-multiple of the lane tile: exercises padding
+        A = rng.normal(size=(B, n, n))
+        H64 = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+        L64 = np.linalg.cholesky(H64)
+        L = np.asarray(jax.jit(chol_any)(jnp.asarray(H64, jnp.float32)))
+        scale = np.abs(L64).max()
+        assert np.max(np.abs(L - L64)) / scale < 5e-6
+
+    def test_under_vmap_collapses(self, rng):
+        from acados_tpu.ops.batched_chol import chol_any
+
+        A = rng.normal(size=(4, 32, 20, 20))
+        H64 = A @ np.swapaxes(A, -1, -2) + 20 * np.eye(20)
+        L = np.asarray(jax.jit(jax.vmap(jax.vmap(chol_any)))(
+            jnp.asarray(H64, jnp.float32)))
+        L64 = np.linalg.cholesky(H64)
+        assert np.max(np.abs(L - L64)) / np.abs(L64).max() < 5e-6
+
+
+class TestIrkKronOnChip:
+    def test_kron_matches_generic_chain_shapes(self):
+        """The 2-stage Kronecker IRK fast path vs the generic frozen-J
+        path at the chain model's production shapes, on the chip."""
+        from acados_tpu.models.chain_mass import (chain_mass_ode,
+                                                  chain_steady_state)
+        from acados_tpu.sim.integrator import normalize_dynamics
+        from acados_tpu.sim.irk import (implicit_from_explicit,
+                                        make_irk_step_jac)
+
+        n_mass = 8
+        nx = (2 * (n_mass - 2) + 1) * 3
+        fi = implicit_from_explicit(
+            normalize_dynamics(chain_mass_ode(n_mass)))
+        kw = dict(nx=nx, nz=0, num_stages=2, num_steps=2,
+                  newton_iter=3, jac_reuse=True)
+        gen = make_irk_step_jac(fi, **kw, kron_path=False)
+        kro = make_irk_step_jac(fi, **kw, kron_path=True,
+                                explicit_ode=True)
+        rng_l = np.random.default_rng(0)
+        B = 64
+        x = jnp.asarray(chain_steady_state(n_mass)[None]
+                        + 0.01 * rng_l.normal(size=(B, nx)), jnp.float32)
+        u = jnp.asarray(0.1 * rng_l.normal(size=(B, 3)), jnp.float32)
+        p = jnp.zeros((B, 0), jnp.float32)
+        t0 = jnp.zeros((B,), jnp.float32)
+        dt = jnp.full((B,), 0.2, jnp.float32)
+        xg, Ag, Bg = jax.jit(jax.vmap(gen))(x, u, p, t0, dt)
+        xk, Ak, Bk = jax.jit(jax.vmap(kro))(x, u, p, t0, dt)
+        np.testing.assert_allclose(np.asarray(xk), np.asarray(xg),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(Ak), np.asarray(Ag),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(Bk), np.asarray(Bg),
+                                   atol=5e-4)
+
+
+class TestSmallMmLargeN:
+    def test_mxu_fallback_n39_accuracy(self, rng):
+        """n=39 falls through smallmm's VPU cap to dot_general; the
+        solver pins matmul precision 'highest' — assert that keeps f32
+        fidelity vs the f64 oracle (default bf16 passes would fail
+        this)."""
+        import jax
+        from acados_tpu.ops.smallmm import mm
+
+        X = rng.normal(size=(256, 39, 39))
+        Y = rng.normal(size=(256, 39, 39))
+        ref = X @ Y
+        with jax.default_matmul_precision("highest"):
+            out = np.asarray(jax.jit(mm)(jnp.asarray(X, jnp.float32),
+                                         jnp.asarray(Y, jnp.float32)))
+        assert np.max(np.abs(out - ref)) / np.abs(ref).max() < 1e-5
