@@ -188,9 +188,10 @@ def _solve_impl(qp: DenseQp, opts: IpmOpts, warm):
         weights = _row_weights(qp, it)
         W = weights[0]
         Hb = qp.H + (qp.G.T * W) @ qp.G + opts.reg_eps * eye
-        if jax.default_backend() == "tpu" and Hb.shape[-1] <= 96:
-            # lane-batched Pallas Cholesky (vmap-collapsing): XLA's
-            # batched cholesky custom-call is ~ms-scale at these shapes
+        if jax.default_backend() == "tpu":
+            # lane-batched Pallas Cholesky (vmap-collapsing) where the
+            # kernel fits VMEM; chol_any itself falls back to XLA's
+            # cholesky above ops.batched_chol._CHOL_MAX_N
             from acados_tpu.ops.batched_chol import chol_any
             chol = chol_any(Hb)
         else:

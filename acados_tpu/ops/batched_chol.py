@@ -90,7 +90,10 @@ def _pad_batch(a, tile):
     return a, B
 
 
-_CHOL_MAX_N = 96  # beyond this even TILE 128 blows the VMEM stack budget
+_CHOL_MAX_N = 64  # above this Mosaic's scoped-VMEM stack overflows even at
+# TILE 128 with single-buffered blocks (measured: n=90 compiles OOM by
+# ~1M; kernel temporaries add to the block footprint). chol_any falls
+# back to XLA's cholesky beyond this.
 
 
 def _auto_tile(n: int) -> int:
@@ -119,9 +122,11 @@ def chol_factor_batched(H, tile_b: int = None):
         out_shape=jax.ShapeDtypeStruct((n, n, Bp), H.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM,
+                               pipeline_mode=pl.Buffered(buffer_count=1))],
         out_specs=pl.BlockSpec((n, n, tile_b), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM),
+                               memory_space=pltpu.VMEM,
+                               pipeline_mode=pl.Buffered(buffer_count=1)),
         interpret=_interpret(),
     )(h)
     return jnp.moveaxis(out[..., :B0], -1, 0)
