@@ -16,6 +16,7 @@ EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
     "mocp_transition_example.py",
     "differentiable_mpc.py",
     "batched_scenario_mpc.py",
+    "batched_rti_phases.py",
     "dae_constrained_ocp.py",
     "on_device_mpc_loop.py",
 ])
