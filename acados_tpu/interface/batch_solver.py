@@ -392,6 +392,7 @@ class AcadosOcpBatchSolver:
                                                   linearize)
         from acados_tpu.ocp_nlp.regularize import regularize_qp
         from acados_tpu.ocp_nlp.sqp import use_x0_elimination
+        from acados_tpu.ocp_qp.data import OcpQpSol
         from acados_tpu.ocp_qp.ipm import solve_ocp_qp
         from acados_tpu.ocp_qp.xcond import solve_ocp_qp_xcond
 
@@ -401,12 +402,23 @@ class AcadosOcpBatchSolver:
         x0f = use_x0_elimination(form, opts)
         static_rows = build_static_rows(form, self.dtype)
 
-        def qp_solve(qp):
-            # mirror of make_sqp_solver's backend dispatch
+        def qp_solve(qp, i):
+            # mirror of make_sqp_solver's backend dispatch, including
+            # the first-QP-from-NLP warm start (without it the chain's
+            # attribution pays cold barrier re-centering — 7 IPM iters
+            # — that the warm production path never executes)
+            warm = None
+            if opts.warm_start_first_qp_from_nlp:
+                warm = OcpQpSol(
+                    x=jnp.zeros_like(qp.q), u=jnp.zeros_like(qp.r),
+                    pi=i.pi, lam_lg=i.lam_l, lam_ug=i.lam_u,
+                    t_lg=jnp.ones_like(i.lam_l),
+                    t_ug=jnp.ones_like(i.lam_u), sl=i.sl, su=i.su)
             if opts.qpscaling != "NO_SCALING":
                 from acados_tpu.ocp_qp.qpscaling import scale_qp
                 qp, _ = scale_qp(qp,
                                  unit_rows_0=form.nx if x0f else 0)
+                warm = None  # warm point is in unscaled units
             qp = regularize_qp(qp, opts.regularize_method,
                                opts.reg_epsilon)
             if opts.full_cond:
@@ -415,14 +427,16 @@ class AcadosOcpBatchSolver:
             if opts.cond_N is not None:
                 return solve_ocp_qp_xcond(
                     qp, opts.qp_opts, cond_N=opts.cond_N,
+                    warm=warm,
                     cond_block_size=opts.cond_block_size,
                     x0_fixed=x0f)
-            return solve_ocp_qp(qp, opts.qp_opts, x0_fixed=x0f)
+            return solve_ocp_qp(qp, opts.qp_opts, warm=warm,
+                                x0_fixed=x0f)
 
         lin = jax.jit(jax.vmap(lambda d, i: jax.tree.map(
             jnp.sum, linearize(form, static_rows, d, i, lm))))
         both = jax.jit(jax.vmap(lambda d, i: qp_solve(
-            linearize(form, static_rows, d, i, lm))))
+            linearize(form, static_rows, d, i, lm), i)))
 
         def timed(f, reps=3):
             out = f(data, it)

@@ -61,6 +61,7 @@ def _time(f, *args, reps=10, warm=2):
 
 
 _CANARY = None
+_RTT_K = None
 
 
 def _canary_ms():
@@ -92,17 +93,46 @@ def _canary_ms():
     return round((time.perf_counter() - t0) * 1e3, 2)
 
 
-def _time_rounds(f, *args, rounds=5, reps=3, warm=2):
+def _rtt_ms():
+    """Host-dispatch round-trip floor: a trivial jitted identity with a
+    host-read fence. On the axon tunnel this is pure network/dispatch
+    latency (measured 2-30 ms BETWEEN sessions with identical code), so
+    recording it next to the canary decomposes canary_ms into
+    RTT + chip compute — a loaded CHIP and a slow TUNNEL are now
+    distinguishable from the artifact alone."""
+    import jax
+    import jax.numpy as jnp
+
+    global _RTT_K
+    if _RTT_K is None:
+        @jax.jit
+        def k(x):
+            return x + 1.0
+        x = jnp.zeros((8,), jnp.float32)
+        _sync(k(x))
+        _RTT_K = (k, x)
+    k, x = _RTT_K
+    t0 = time.perf_counter()
+    _sync(k(x))
+    return round((time.perf_counter() - t0) * 1e3, 2)
+
+
+def _time_rounds(f, *args, rounds=5, reps=10, warm=2):
     """Throughput timing: median + p10/p90 over `rounds` interleaved
     measurement rounds (canary between them, so rounds are NOT
     back-to-back and a load swing mid-entry shows in the spread), plus
-    the canary at start/mid/end. Returns (median_s, stats, out)."""
+    the canary and the dispatch-RTT floor at start/mid/end. `reps` calls
+    are pipelined behind one fence per round (r4's protocol): a
+    per-call fence would charge the tunnel RTT — up to ~27 ms on a bad
+    day, vs ~4 ms of device time for the headline solve — to every
+    solve, measuring the dev-setup network instead of the chip.
+    Returns (median_s, stats, out)."""
     out = None
     for _ in range(warm):
         out = f(*args)
         _sync(out)
-    c_start = _canary_ms()
-    dts, c_mid = [], None
+    c_start, r_start = _canary_ms(), _rtt_ms()
+    dts, c_mid, r_mid = [], None, None
     for r in range(rounds):
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -110,10 +140,10 @@ def _time_rounds(f, *args, rounds=5, reps=3, warm=2):
         _sync(out)
         dts.append((time.perf_counter() - t0) / reps)
         if r == rounds // 2 - 1:
-            c_mid = _canary_ms()
+            c_mid, r_mid = _canary_ms(), _rtt_ms()
         elif r < rounds - 1:
             _canary_ms()  # interleave (un-recorded)
-    c_end = _canary_ms()
+    c_end, r_end = _canary_ms(), _rtt_ms()
     dts = np.asarray(dts)
     med = float(np.median(dts))
     stats = dict(
@@ -121,7 +151,8 @@ def _time_rounds(f, *args, rounds=5, reps=3, warm=2):
         dt_p10_ms=round(float(np.percentile(dts, 10)) * 1e3, 3),
         dt_p90_ms=round(float(np.percentile(dts, 90)) * 1e3, 3),
         rounds=int(rounds), reps=int(reps),
-        canary_ms=dict(start=c_start, mid=c_mid, end=c_end))
+        canary_ms=dict(start=c_start, mid=c_mid, end=c_end),
+        rtt_ms=dict(start=r_start, mid=r_mid, end=r_end))
     return med, stats, out
 
 
@@ -254,6 +285,7 @@ def _phase_split(form, opts, data, it, jdtype):
 
     from acados_tpu.ocp_nlp.linearize import build_static_rows, linearize
     from acados_tpu.ocp_nlp.sqp import use_x0_elimination
+    from acados_tpu.ocp_qp.data import OcpQpSol
     from acados_tpu.ocp_qp.ipm import solve_ocp_qp
 
     static_rows = build_static_rows(form, jdtype)
@@ -266,7 +298,18 @@ def _phase_split(form, opts, data, it, jdtype):
 
     def lin_qp(d, i):
         qp = linearize(form, static_rows, d, i, lm)
-        return solve_ocp_qp(qp, opts.qp_opts, x0_fixed=x0f)
+        warm = None
+        # mirror the production first-QP warm start (sqp.py solve loop):
+        # without it the attribution pays cold barrier re-centering the
+        # timed path never executes (chain: 7 cold vs 2 warm IPM iters)
+        if (opts.warm_start_first_qp_from_nlp
+                and opts.qpscaling == "NO_SCALING"):
+            warm = OcpQpSol(
+                x=jnp.zeros_like(qp.q), u=jnp.zeros_like(qp.r),
+                pi=i.pi, lam_lg=i.lam_l, lam_ug=i.lam_u,
+                t_lg=jnp.ones_like(i.lam_l),
+                t_ug=jnp.ones_like(i.lam_u), sl=i.sl, su=i.su)
+        return solve_ocp_qp(qp, opts.qp_opts, warm=warm, x0_fixed=x0f)
 
     both = jax.jit(jax.vmap(lin_qp))
     dt_both, (_sol, info) = _time(both, data, it, reps=5)
